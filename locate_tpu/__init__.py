@@ -1,0 +1,51 @@
+"""locate-tpu: a TPU-native image-generation (GAN) framework with the
+capabilities of ClashLuke/LocAtE, built JAX/XLA/Pallas-first.
+
+Public API surface mirrors the reference contract (BASELINE.json
+north_star): model constructors, block factories, train-loop entry points,
+sampling/checkpointing.
+"""
+
+from locate_tpu.config import (
+    AttentionConfig,
+    Config,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    ParallelConfig,
+    TrainConfig,
+    get_config,
+    PRESETS,
+)
+from locate_tpu.models.gan import GAN, build_gan
+from locate_tpu.models.generator import Generator, build_generator
+from locate_tpu.models.discriminator import Discriminator, build_discriminator
+from locate_tpu.nn.blocks import (
+    conv_block,
+    discriminator_stage,
+    from_rgb,
+    generator_stage,
+    to_rgb,
+)
+from locate_tpu.ops.attention import locate_attention
+from locate_tpu.objectives.losses import d_nonsat_loss, g_nonsat_loss, r1_penalty
+from locate_tpu.objectives.ema import ema_init, ema_update
+from locate_tpu.train.state import TrainState, create_train_state
+from locate_tpu.train.step import make_train_step
+from locate_tpu.train.loop import train
+from locate_tpu.io.checkpoint import CheckpointManager
+from locate_tpu.io.sampling import generate_samples, save_image_grid
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AttentionConfig", "Config", "DataConfig", "ModelConfig", "OptimConfig",
+    "ParallelConfig", "TrainConfig", "get_config", "PRESETS",
+    "GAN", "build_gan", "Generator", "build_generator",
+    "Discriminator", "build_discriminator",
+    "conv_block", "generator_stage", "discriminator_stage", "to_rgb", "from_rgb",
+    "locate_attention",
+    "d_nonsat_loss", "g_nonsat_loss", "r1_penalty", "ema_init", "ema_update",
+    "TrainState", "create_train_state", "make_train_step", "train",
+    "CheckpointManager", "generate_samples", "save_image_grid",
+]

@@ -1,0 +1,330 @@
+"""Configuration system for locate-tpu.
+
+The reference (ClashLuke/LocAtE) kept hyperparameters as module-level
+constants edited in place (SURVEY.md §3 "Config", provenance RECALL-med; the
+reference mount at /root/reference was empty at build time, see SURVEY.md §0).
+We instead use frozen dataclasses with named presets for the five BASELINE
+configs (/root/repo/BASELINE.json:6-12) and simple ``key=value`` CLI
+overrides, so that a later diff against the real reference is a config
+change, not a rewrite (SURVEY.md §8 "Hard parts" #5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    """Location-based (positional) attention block hyperparameters.
+
+    The mechanism (SURVEY.md §1): attention weights are derived from spatial
+    position and per-location features rather than O(N^2) token-token
+    similarity — a linear-cost spatial gating that modulates conv feature
+    maps. All parameterization choices are reconstructions and therefore
+    config-driven.
+    """
+
+    # Gate normalization: "softmax" normalizes the gate over all H*W
+    # locations (scaled by H*W so the identity gate is all-ones);
+    # "sigmoid" is an unnormalized per-location gate.
+    mode: str = "softmax"
+    # Per-channel gate (N,H,W,C) vs a single spatial map (N,H,W,1).
+    per_channel: bool = True
+    # Number of sinusoidal coordinate-embedding channels appended to the
+    # features before computing the gate (must be even; 0 disables).
+    pos_features: int = 8
+    # Channel reduction factor for the two-layer gate MLP (1x1 convs).
+    bottleneck: int = 4
+    # If true the block computes x * (1 + gate_centered) residually so an
+    # all-zero gate MLP is the identity at init.
+    residual: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Generator/discriminator architecture (SURVEY.md §2 L2-L3)."""
+
+    resolution: int = 32
+    img_channels: int = 3
+    latent_dim: int = 128
+    # Channels at the lowest (4x4) resolution; halves per upsampling stage
+    # by `channel_factor`, clipped to [min_channels, max_channels].
+    base_channels: int = 256
+    max_channels: int = 512
+    min_channels: int = 64
+    channel_factor: float = 2.0
+    # Conv blocks per resolution stage (BASELINE config 3: "deeper
+    # attention-conv stacks" raises this).
+    blocks_per_stage: int = 1
+    kernel_size: int = 3
+    # Factorized (1xk then kx1) convolutions, the reference's conv style
+    # (SURVEY.md §3 "Conv block factory", RECALL-med).
+    factorized: bool = True
+    norm: str = "group"  # {"group", "pixel", "none"}
+    group_norm_groups: int = 8
+    act: str = "leaky_relu"  # {"leaky_relu", "relu", "silu", "gelu"}
+    leaky_slope: float = 0.2
+    attention: AttentionConfig = dataclasses.field(default_factory=AttentionConfig)
+    # Which resolution stages get a LocAtE attention block: "all" (BASELINE
+    # config 2: "at every stage") or a tuple of stage resolutions.
+    attention_stages: Any = "all"
+    # Class-conditional GAN (BASELINE config 4). 0 disables conditioning.
+    num_classes: int = 0
+    class_embed_dim: int = 128
+
+    @property
+    def num_stages(self) -> int:
+        """Stages from the 4x4 seed up to `resolution` (inclusive count)."""
+        return int(math.log2(self.resolution // 4)) + 1
+
+    def stage_resolutions(self) -> Tuple[int, ...]:
+        """Resolutions processed by the generator, low to high: 4, 8, ... res."""
+        return tuple(4 * 2**i for i in range(self.num_stages))
+
+    def stage_channels(self) -> Tuple[int, ...]:
+        """Channel width at each stage resolution, low to high."""
+        chans = []
+        for i in range(self.num_stages):
+            c = self.base_channels / (self.channel_factor**i)
+            c = int(max(self.min_channels, min(self.max_channels, c)))
+            # Round to a multiple of 8 (full-lane VPU sublane for fp32;
+            # large configs use multiples of 128 natively).
+            chans.append(max(8, (c // 8) * 8))
+        return tuple(chans)
+
+    def attention_at(self, resolution: int) -> bool:
+        if self.attention_stages == "all":
+            return True
+        if not self.attention_stages:
+            return False
+        return resolution in tuple(self.attention_stages)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Host input pipeline (SURVEY.md §4.5)."""
+
+    dataset: str = "synthetic"  # {"synthetic", "folder", "cifar10"}
+    path: str = ""
+    resolution: int = 32
+    img_channels: int = 3
+    random_flip: bool = True
+    num_classes: int = 0
+    # Host-side prefetch depth (double buffering => 2).
+    prefetch: int = 2
+    shuffle_buffer: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 2e-4
+    beta1: float = 0.0
+    beta2: float = 0.99
+    eps: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Objective & loop (SURVEY.md §2 L4/L6)."""
+
+    total_steps: int = 100_000
+    global_batch: int = 64
+    g_opt: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    d_opt: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    # EMA generator for sampling (BASELINE config 3). 0 disables.
+    ema_decay: float = 0.999
+    # Lazy R1 gradient penalty on D every `r1_interval` steps; 0 disables.
+    r1_gamma: float = 0.0
+    r1_interval: int = 16
+    seed: int = 0
+    log_every: int = 100
+    sample_every: int = 2000
+    checkpoint_every: int = 2000
+    keep_checkpoints: int = 3
+    # Numerics: params/opt-state in fp32, compute in bf16 on TPU.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh & sharding (SURVEY.md §3.2-3.3): DP over ICI with psum grad
+    reduction is the required strategy; a `model` axis slot exists for
+    tensor-parallel channel sharding."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 = all available devices on the data axis.
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str = "default"
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    # Use fused Pallas kernels for the hot blocks (SURVEY.md §8 M6); the
+    # pure-XLA composition is always available as fallback & test oracle.
+    use_pallas: bool = False
+    workdir: str = "runs/default"
+
+
+# ---------------------------------------------------------------------------
+# Presets: the five BASELINE configs (/root/repo/BASELINE.json:6-12).
+# ---------------------------------------------------------------------------
+
+
+def _cifar10_32() -> Config:
+    """Config 1: CIFAR-10 32x32 conv+LocAtE-attention GAN (CPU-runnable ref)."""
+    return Config(
+        name="cifar10_32",
+        model=ModelConfig(resolution=32, base_channels=256, max_channels=256),
+        data=DataConfig(dataset="cifar10", resolution=32),
+        train=TrainConfig(global_batch=64, compute_dtype="float32"),
+        workdir="runs/cifar10_32",
+    )
+
+
+def _celeba_64() -> Config:
+    """Config 2: CelebA 64x64, location-based attention at every stage."""
+    return Config(
+        name="celeba_64",
+        model=ModelConfig(
+            resolution=64, base_channels=512, max_channels=512, attention_stages="all"
+        ),
+        data=DataConfig(dataset="folder", resolution=64),
+        train=TrainConfig(global_batch=64),
+        workdir="runs/celeba_64",
+    )
+
+
+def _lsun_bedroom_128() -> Config:
+    """Config 3: LSUN-bedroom 128x128, deeper attention-conv stacks + EMA.
+
+    This is the primary-metric config (images/sec/chip at 128x128,
+    BASELINE.json:2).
+    """
+    return Config(
+        name="lsun_bedroom_128",
+        model=ModelConfig(
+            resolution=128,
+            base_channels=512,
+            max_channels=512,
+            blocks_per_stage=2,
+        ),
+        data=DataConfig(dataset="folder", resolution=128),
+        train=TrainConfig(global_batch=64, ema_decay=0.999),
+        workdir="runs/lsun_bedroom_128",
+    )
+
+
+def _ffhq_256() -> Config:
+    """Config 4: FFHQ 256x256 class-conditional, data-parallel over ICI (v5p-8)."""
+    return Config(
+        name="ffhq_256",
+        model=ModelConfig(
+            resolution=256,
+            base_channels=512,
+            max_channels=512,
+            num_classes=10,
+        ),
+        data=DataConfig(dataset="folder", resolution=256, num_classes=10),
+        train=TrainConfig(global_batch=128),
+        parallel=ParallelConfig(data_parallel=-1),
+        workdir="runs/ffhq_256",
+    )
+
+
+def _ffhq_512() -> Config:
+    """Config 5: FFHQ 512x512 with fused attention-conv Pallas blocks (v5p-32)."""
+    return Config(
+        name="ffhq_512",
+        model=ModelConfig(
+            resolution=512,
+            base_channels=512,
+            max_channels=512,
+        ),
+        data=DataConfig(dataset="folder", resolution=512),
+        train=TrainConfig(global_batch=256),
+        parallel=ParallelConfig(data_parallel=-1),
+        use_pallas=True,
+        workdir="runs/ffhq_512",
+    )
+
+
+PRESETS = {
+    "cifar10_32": _cifar10_32,
+    "celeba_64": _celeba_64,
+    "lsun_bedroom_128": _lsun_bedroom_128,
+    "ffhq_256": _ffhq_256,
+    "ffhq_512": _ffhq_512,
+}
+
+
+def get_config(name: str = "cifar10_32", overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Build a preset config with optional dotted-path overrides.
+
+    >>> get_config("cifar10_32", {"train.global_batch": 32})
+    """
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[name]()
+    if overrides:
+        for key, value in overrides.items():
+            cfg = apply_override(cfg, key, value)
+    return cfg
+
+
+def apply_override(cfg: Config, dotted_key: str, value: Any) -> Config:
+    """Return a new config with `dotted_key` (e.g. "model.resolution") set."""
+    parts = dotted_key.split(".")
+    return _set_in(cfg, parts, value)
+
+
+def _set_in(obj, parts, value):
+    field_name = parts[0]
+    if not dataclasses.is_dataclass(obj) or field_name not in {
+        f.name for f in dataclasses.fields(obj)
+    }:
+        raise KeyError(f"no config field {field_name!r} on {type(obj).__name__}")
+    if len(parts) == 1:
+        current = getattr(obj, field_name)
+        return _replace(obj, **{field_name: _coerce(value, current)})
+    child = getattr(obj, field_name)
+    return _replace(obj, **{field_name: _set_in(child, parts[1:], value)})
+
+
+def _coerce(value: Any, template: Any) -> Any:
+    """Coerce a (possibly string) CLI value to the type of the current value."""
+    if not isinstance(value, str):
+        return value
+    if isinstance(template, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(template, int):
+        return int(value)
+    if isinstance(template, float):
+        return float(value)
+    if isinstance(template, tuple):
+        return tuple(int(v) for v in value.split(",") if v)
+    return value
+
+
+def parse_cli_overrides(argv) -> Dict[str, Any]:
+    """Parse ["a.b=1", "c=x"] style args into an override dict."""
+    out: Dict[str, Any] = {}
+    for arg in argv:
+        if "=" not in arg:
+            raise ValueError(f"override {arg!r} is not key=value")
+        key, _, value = arg.partition("=")
+        out[key.strip()] = value.strip()
+    return out

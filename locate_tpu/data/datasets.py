@@ -1,0 +1,187 @@
+"""Dataset sources (SURVEY.md §2 L5, §4.5).
+
+The reference used torchvision datasets + DataLoader (RECALL-med). Here a
+dataset is a plain object with:
+
+    * ``__len__()``
+    * ``example(index, rng) -> (image_u8 (H,W,C) uint8, label int)``
+
+Decoding/resizing happens on the TPU-VM host (BASELINE: "decodes/resizes/
+normalizes images on the TPU VM host"); normalization to [-1, 1] happens
+once per batch in `pipeline.py` (vectorized), and augmentation (random flip)
+is host-side per-example.
+
+Offline environment note: no network (SURVEY.md §8 env inventory), so
+CIFAR-10 is read from local binary batches if present and the synthetic
+dataset is the always-available fallback for tests/benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import tarfile
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Example = Tuple[np.ndarray, int]
+
+
+class SyntheticImages:
+    """Deterministic procedurally-generated images.
+
+    Structured (gaussian blobs + gradients keyed by index) rather than pure
+    noise so D has something learnable; class id selects the palette when
+    `num_classes > 0`. Used for tests and for input-pipeline/throughput
+    benchmarking without any files on disk.
+    """
+
+    def __init__(self, resolution: int, channels: int = 3, length: int = 50_000,
+                 num_classes: int = 0, seed: int = 0):
+        self.resolution = resolution
+        self.channels = channels
+        self.length = length
+        self.num_classes = num_classes
+        self.seed = seed
+        r = resolution
+        ys, xs = np.mgrid[0:r, 0:r].astype(np.float32) / max(1, r - 1)
+        self._ys, self._xs = ys, xs
+
+    def __len__(self) -> int:
+        return self.length
+
+    def example(self, index: int, rng: Optional[np.random.Generator] = None) -> Example:
+        rs = np.random.Generator(np.random.Philox(key=self.seed, counter=index))
+        label = int(index % self.num_classes) if self.num_classes else 0
+        r = self.resolution
+        img = np.zeros((r, r, self.channels), np.float32)
+        # background gradient
+        angle = rs.uniform(0, 2 * np.pi)
+        grad = np.cos(angle) * self._xs + np.sin(angle) * self._ys
+        base = rs.uniform(0.2, 0.8, size=(self.channels,)).astype(np.float32)
+        img += base + 0.3 * grad[..., None]
+        # gaussian blobs; palette keyed by label
+        for _ in range(3):
+            cy, cx = rs.uniform(0.2, 0.8, size=2)
+            sig = rs.uniform(0.05, 0.25)
+            blob = np.exp(-(((self._ys - cy) ** 2 + (self._xs - cx) ** 2) / (2 * sig**2)))
+            color = rs.uniform(-0.7, 0.7, size=(self.channels,)).astype(np.float32)
+            if self.num_classes:
+                color = np.roll(color, label)
+            img += blob[..., None] * color
+        img = np.clip(img, 0.0, 1.0)
+        return (img * 255.0).astype(np.uint8), label
+
+
+class Cifar10:
+    """CIFAR-10 from the standard python-pickle binary batches
+    (`cifar-10-batches-py/` dir or `cifar-10-python.tar.gz`), fully resident
+    in host RAM (it is 150 MB). BASELINE config 1."""
+
+    def __init__(self, path: str, train: bool = True):
+        arrays, labels = self._load(path, train)
+        self.images = arrays  # (N, 32, 32, 3) uint8
+        self.labels = labels
+        self.resolution = 32
+        self.channels = 3
+        self.num_classes = 10
+
+    @staticmethod
+    def _load(path: str, train: bool):
+        names = (
+            [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+        )
+        batches = []
+        if os.path.isdir(path):
+            base = path
+            if os.path.isdir(os.path.join(path, "cifar-10-batches-py")):
+                base = os.path.join(path, "cifar-10-batches-py")
+            for name in names:
+                with open(os.path.join(base, name), "rb") as f:
+                    batches.append(pickle.load(f, encoding="bytes"))
+        elif tarfile.is_tarfile(path):
+            with tarfile.open(path) as tar:
+                for name in names:
+                    member = tar.getmember(f"cifar-10-batches-py/{name}")
+                    batches.append(pickle.load(tar.extractfile(member), encoding="bytes"))
+        else:
+            raise FileNotFoundError(f"no CIFAR-10 data at {path!r}")
+        imgs = np.concatenate([b[b"data"] for b in batches], axis=0)
+        imgs = imgs.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # NCHW->NHWC
+        labels = np.concatenate([np.asarray(b[b"labels"]) for b in batches])
+        return np.ascontiguousarray(imgs), labels.astype(np.int32)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def example(self, index: int, rng=None) -> Example:
+        return self.images[index], int(self.labels[index])
+
+
+class ImageFolder:
+    """Flat or class-per-subdir folder of images, decoded with PIL and
+    resized to `resolution` (BASELINE configs 2-5: CelebA/LSUN/FFHQ are
+    delivered as image folders). Labels are subdir indices when subdirs
+    exist, else 0."""
+
+    EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+    def __init__(self, path: str, resolution: int, channels: int = 3):
+        self.resolution = resolution
+        self.channels = channels
+        self.files: List[str] = []
+        self.labels: List[int] = []
+        classes = sorted(
+            d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+        ) if os.path.isdir(path) else []
+        if classes:
+            for ci, cls in enumerate(classes):
+                for fn in sorted(os.listdir(os.path.join(path, cls))):
+                    if fn.lower().endswith(self.EXTENSIONS):
+                        self.files.append(os.path.join(path, cls, fn))
+                        self.labels.append(ci)
+            self.num_classes = len(classes)
+        else:
+            for fn in sorted(os.listdir(path)):
+                if fn.lower().endswith(self.EXTENSIONS):
+                    self.files.append(os.path.join(path, fn))
+                    self.labels.append(0)
+            self.num_classes = 0
+        if not self.files:
+            raise FileNotFoundError(f"no images under {path!r}")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def example(self, index: int, rng=None) -> Example:
+        from PIL import Image
+
+        with Image.open(self.files[index]) as im:
+            im = im.convert("RGB" if self.channels == 3 else "L")
+            # center-crop to square, then resize
+            w, h = im.size
+            s = min(w, h)
+            im = im.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+            im = im.resize((self.resolution, self.resolution), Image.BILINEAR)
+            arr = np.asarray(im, np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return arr, int(self.labels[index])
+
+
+def make_dataset(cfg) -> object:
+    """Dataset factory from a DataConfig."""
+    if cfg.dataset == "synthetic":
+        return SyntheticImages(
+            cfg.resolution, cfg.img_channels, num_classes=cfg.num_classes
+        )
+    if cfg.dataset == "cifar10":
+        try:
+            return Cifar10(cfg.path or "data/cifar10")
+        except FileNotFoundError:
+            # Offline fallback: keep config 1 runnable anywhere.
+            return SyntheticImages(32, 3, num_classes=cfg.num_classes or 10)
+    if cfg.dataset == "folder":
+        return ImageFolder(cfg.path, cfg.resolution, cfg.img_channels)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")

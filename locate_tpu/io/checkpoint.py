@@ -1,0 +1,47 @@
+"""Checkpoint/resume (SURVEY.md §4.4, §6): the reference used
+torch.save/load of state dicts; here the single TrainState pytree is saved
+with orbax-checkpoint (async-capable, multi-host aware), keep-last-K, and
+resume restores step counter, PRNG key, EMA, and both optimizer states for
+deterministic continuation."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from locate_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=False
+            ),
+        )
+
+    def save(self, state: TrainState, step: Optional[int] = None) -> None:
+        step = int(state.step) if step is None else int(step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure/shardings of `template` (an abstract
+        or concrete TrainState)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def close(self):
+        self._mgr.close()

@@ -1,0 +1,54 @@
+"""Sampling: fixed-latent image grids (SURVEY.md §4.3) — the reference's
+`save_image`-style periodic sample dump, using the EMA generator when
+available (BASELINE config 3)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from locate_tpu.models.gan import GAN
+
+
+def generate_samples(
+    gan: GAN, g_params, key: jax.Array, count: int, labels=None
+) -> np.ndarray:
+    """Run the generator and return uint8 NHWC images on host."""
+    z = gan.sample_latents(key, count)
+    if labels is None and gan.config.num_classes:
+        labels = jnp.arange(count) % gan.config.num_classes
+    imgs = jax.jit(gan.generator.apply)(g_params, z, labels)
+    return to_uint8(np.asarray(jax.device_get(imgs), np.float32))
+
+
+def to_uint8(imgs: np.ndarray) -> np.ndarray:
+    """Denormalize [-1, 1] -> [0, 255] uint8 (SURVEY.md §4.3)."""
+    return np.clip((imgs + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+
+
+def tile_grid(imgs: np.ndarray, cols: Optional[int] = None) -> np.ndarray:
+    """Tile (N, H, W, C) uint8 images into one grid image."""
+    n, h, w, c = imgs.shape
+    cols = cols or int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    grid = np.zeros((rows * h, cols * w, c), np.uint8)
+    for i in range(n):
+        r, col = divmod(i, cols)
+        grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = imgs[i]
+    return grid
+
+
+def save_image_grid(imgs: np.ndarray, path: str, cols: Optional[int] = None) -> str:
+    """Write a PNG grid to `path` (device->host boundary is in the caller)."""
+    from PIL import Image
+
+    grid = tile_grid(imgs, cols)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if grid.shape[-1] == 1:
+        grid = grid[..., 0]
+    Image.fromarray(grid).save(path)
+    return path

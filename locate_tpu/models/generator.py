@@ -1,0 +1,90 @@
+"""Generator constructor (SURVEY.md §2 L3, §4.2).
+
+Latent z (+ optional class embedding, BASELINE config 4) -> dense to a
+4x4xC seed -> repeated [upsample + conv block(s) + LocAtE attention] stages
+-> to-RGB conv + tanh -> image in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from locate_tpu.config import ModelConfig
+from locate_tpu.nn.core import sequential
+from locate_tpu.nn.blocks import generator_stage, to_rgb
+from locate_tpu.ops import initializers
+from locate_tpu.ops.activations import make_act
+from locate_tpu.ops.conv import dense
+from locate_tpu.ops.norm import make_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class Generator:
+    """Explicit-pytree generator: `init(key) -> params`,
+    `apply(params, z[, labels]) -> images` (NHWC in [-1, 1])."""
+
+    config: ModelConfig
+    init: Callable[[jax.Array], Any]
+    apply: Callable[..., jax.Array]
+
+    def __call__(self, params, z, labels=None):
+        return self.apply(params, z, labels)
+
+
+def build_generator(
+    cfg: ModelConfig, compute_dtype: Optional[jnp.dtype] = None
+) -> Generator:
+    chans = cfg.stage_channels()
+    resolutions = cfg.stage_resolutions()
+    in_dim = cfg.latent_dim + (cfg.class_embed_dim if cfg.num_classes else 0)
+
+    seed = dense(in_dim, 4 * 4 * chans[0], compute_dtype=compute_dtype)
+    stages = [
+        generator_stage(
+            chans[max(i - 1, 0)],
+            chans[i],
+            resolutions[i],
+            cfg,
+            first=(i == 0),
+            compute_dtype=compute_dtype,
+        )
+        for i in range(len(chans))
+    ]
+    trunk = sequential(*stages)
+    head = sequential(
+        make_norm(cfg.norm, chans[-1], cfg.group_norm_groups, compute_dtype=compute_dtype),
+        make_act(cfg.act, cfg.leaky_slope),
+        to_rgb(chans[-1], cfg.img_channels, compute_dtype=compute_dtype),
+    )
+
+    def init(key):
+        k_embed, k_seed, k_trunk, k_head = jax.random.split(key, 4)
+        params = {
+            "seed": seed.init(k_seed),
+            "trunk": trunk.init(k_trunk),
+            "head": head.init(k_head),
+        }
+        if cfg.num_classes:
+            params["class_embed"] = initializers.normal(
+                k_embed, (cfg.num_classes, cfg.class_embed_dim), stddev=0.02
+            )
+        return params
+
+    def apply(params, z, labels=None):
+        cd = compute_dtype or z.dtype
+        z = z.astype(cd)
+        if cfg.num_classes:
+            if labels is None:
+                raise ValueError("class-conditional generator needs labels")
+            emb = params["class_embed"].astype(cd)[labels]
+            z = jnp.concatenate([z, emb], axis=-1)
+        x = seed.apply(params["seed"], z)
+        x = x.reshape(z.shape[0], 4, 4, chans[0])
+        x = trunk.apply(params["trunk"], x)
+        return head.apply(params["head"], x)
+
+    return Generator(config=cfg, init=init, apply=apply)

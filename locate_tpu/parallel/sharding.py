@@ -1,0 +1,105 @@
+"""Sharding rules + the sharded train step (SURVEY.md §3.2, §3.3).
+
+Design (the "How to Scale Your Model" recipe): write the train step as a
+GLOBAL program over global-batch arrays, annotate input/output shardings on
+the (data, model) mesh, and let XLA's SPMD partitioner insert the
+collectives — psum gradient reduction over the `data` axis rides ICI
+automatically because the batch is sharded on `data` while params are
+replicated on it.
+
+Sharding rules are shape-based and uniform across the whole TrainState
+pytree (params, EMA shadow, and Adam mu/nu get identical layouts):
+
+  * batch tensors: leading dim sharded over `data`
+  * weight tensors: replicated over `data`; the trailing (output-channel)
+    dim sharded over `model` when divisible and large enough — the
+    megatron-style tensor-parallel slot for conv/dense channels
+  * scalars / rng keys: fully replicated
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from locate_tpu.config import Config
+from locate_tpu.models.gan import GAN
+from locate_tpu.train.state import TrainState
+from locate_tpu.train.step import make_train_step
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _leaf_spec(leaf, mesh: Mesh, model_axis: str, min_shard: int) -> P:
+    shape = getattr(leaf, "shape", ())
+    mp = mesh.shape[model_axis]
+    if mp > 1 and len(shape) >= 2:
+        last = shape[-1]
+        if last % mp == 0 and last >= min_shard:
+            return P(*([None] * (len(shape) - 1)), model_axis)
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh, model_axis: str = "model",
+                    min_shard: int = 128) -> Any:
+    """Shape-based NamedSharding pytree for a parameter (or optimizer/EMA)
+    tree: trailing channel dim over `model`, replicated over `data`."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, mesh, model_axis, min_shard)),
+        params,
+    )
+
+
+def state_shardings(state_shape: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+    """Sharding tree for a TrainState (built from `jax.eval_shape` output or
+    a concrete state). Uniform shape-based rule, so Adam mu/nu and the EMA
+    shadow automatically match their parameters' layout."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, mesh, model_axis, 128)),
+        state_shape,
+    )
+
+
+def place_train_state(state: TrainState, shardings: Any) -> TrainState:
+    """Move a (host/single-device) TrainState onto the mesh."""
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def make_sharded_train_step(
+    cfg: Config, gan: GAN, mesh: Mesh
+) -> Tuple[Any, Any, NamedSharding]:
+    """Returns (jitted_step, state_shardings_fn, batch_sharding).
+
+    The step is the plain global-program train step jitted with explicit
+    in/out shardings; the TrainState buffers are donated so params/opt
+    state update in place in HBM.
+    """
+    pcfg = cfg.parallel
+    step_fn = make_train_step(cfg, gan, axis_name=None)
+    b_sharding = batch_sharding(mesh, pcfg.data_axis)
+    rep = replicated(mesh)
+
+    def shardings_for(state: TrainState) -> Any:
+        return state_shardings(state, mesh, pcfg.model_axis)
+
+    def jit_step(state: TrainState):
+        s_shardings = shardings_for(state)
+        batch_shardings = {"image": b_sharding, "label": b_sharding}
+        return jax.jit(
+            step_fn,
+            in_shardings=(s_shardings, batch_shardings),
+            out_shardings=(s_shardings, rep),
+            donate_argnums=(0,),
+        )
+
+    return jit_step, shardings_for, b_sharding

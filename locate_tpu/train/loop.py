@@ -1,0 +1,102 @@
+"""Train loop / entry point (SURVEY.md §2 L6, §4.1): wires config -> data ->
+models -> sharded jitted step, with periodic logging, sample-grid dumps,
+and checkpointing — the reference's `train()` public entry point."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from locate_tpu.config import Config
+from locate_tpu.data.pipeline import make_input_pipeline
+from locate_tpu.io.checkpoint import CheckpointManager
+from locate_tpu.io.sampling import generate_samples, save_image_grid
+from locate_tpu.models.gan import GAN, build_gan
+from locate_tpu.parallel.mesh import make_mesh
+from locate_tpu.parallel.sharding import make_sharded_train_step, place_train_state
+from locate_tpu.train.state import TrainState, create_train_state
+from locate_tpu.utils.profiling import StepTimer, trace_annotation
+
+
+def train(
+    cfg: Config,
+    total_steps: Optional[int] = None,
+    hooks: Optional[Dict[str, Callable]] = None,
+    resume: bool = True,
+) -> TrainState:
+    """Run (or resume) training; returns the final TrainState.
+
+    `hooks` may provide "on_metrics(step, metrics)" and
+    "on_samples(step, images_u8)" callbacks (used by tests and TB logging).
+    """
+    hooks = hooks or {}
+    total_steps = total_steps or cfg.train.total_steps
+    gan = build_gan(cfg)
+    mesh = make_mesh(cfg.parallel)
+
+    with mesh:
+        state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
+        jit_step_for, shardings_for, batch_shard = make_sharded_train_step(
+            cfg, gan, mesh
+        )
+        state = place_train_state(state, shardings_for(state))
+
+        ckpt = CheckpointManager(
+            os.path.join(cfg.workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
+        )
+        if resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            print(f"[locate-tpu] resumed from step {int(state.step)}")
+
+        step_fn = jit_step_for(state)
+        batches = make_input_pipeline(
+            cfg.data, cfg.train.global_batch,
+            sharding=batch_shard, seed=cfg.train.seed,
+        )
+
+        timer = StepTimer(cfg.train.global_batch)
+        sample_key = jax.random.PRNGKey(cfg.train.seed + 1)  # fixed grid latents
+        metrics = {}
+        start = int(state.step)
+        for step_idx in range(start, total_steps):
+            batch = next(batches)
+            with trace_annotation("train_step"):
+                state, metrics = step_fn(state, batch)
+            timer.tick()
+
+            step_num = step_idx + 1
+            if step_num % cfg.train.log_every == 0 or step_num == total_steps:
+                host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                host_metrics["images_per_sec"] = timer.images_per_sec
+                host_metrics["sec_per_step"] = timer.sec_per_step
+                _log(step_num, host_metrics)
+                if "on_metrics" in hooks:
+                    hooks["on_metrics"](step_num, host_metrics)
+
+            if cfg.train.sample_every and (
+                step_num % cfg.train.sample_every == 0 or step_num == total_steps
+            ):
+                g_params = state.ema_params if state.ema_params is not None else state.g_params
+                imgs = generate_samples(gan, g_params, sample_key, min(64, cfg.train.global_batch))
+                path = os.path.join(cfg.workdir, "samples", f"step_{step_num:08d}.png")
+                save_image_grid(imgs, path)
+                if "on_samples" in hooks:
+                    hooks["on_samples"](step_num, imgs)
+
+            if cfg.train.checkpoint_every and (
+                step_num % cfg.train.checkpoint_every == 0 or step_num == total_steps
+            ):
+                ckpt.save(state)
+        ckpt.close()
+    return state
+
+
+def _log(step: int, metrics: Dict[str, float]) -> None:
+    parts = " ".join(
+        f"{k}={v:.4g}" for k, v in sorted(metrics.items()) if np.isfinite(v)
+    )
+    print(f"[locate-tpu] step {step} {parts}", flush=True)

@@ -1,0 +1,45 @@
+"""Train-state pytree: everything needed to deterministically resume a run
+lives in ONE pytree (SURVEY.md §6 "Checkpoint / resume": step counter, PRNG
+key, EMA, both optimizer states)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from locate_tpu.config import Config
+from locate_tpu.models.gan import GAN
+from locate_tpu.objectives.ema import ema_init
+from locate_tpu.objectives.optim import make_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array                 # int32 scalar
+    rng: jax.Array                  # PRNG key consumed by the train step
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    ema_params: Any                 # fp32 EMA shadow of g_params (or None)
+
+
+def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
+    k_init, k_train = jax.random.split(key)
+    params = gan.init(k_init)
+    g_opt = make_optimizer(cfg.train.g_opt)
+    d_opt = make_optimizer(cfg.train.d_opt)
+    ema = ema_init(params["generator"]) if cfg.train.ema_decay > 0 else None
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        rng=k_train,
+        g_params=params["generator"],
+        d_params=params["discriminator"],
+        g_opt_state=g_opt.init(params["generator"]),
+        d_opt_state=d_opt.init(params["discriminator"]),
+        ema_params=ema,
+    )

@@ -1,0 +1,64 @@
+"""Non-saturating loss golden tests vs torch (SURVEY.md §5 item 1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from locate_tpu.objectives.ema import ema_init, ema_update
+from locate_tpu.objectives.losses import d_nonsat_loss, g_nonsat_loss, r1_penalty
+
+
+def test_g_loss_matches_torch():
+    logits = np.random.RandomState(0).randn(16).astype(np.float32) * 3
+    ours = float(g_nonsat_loss(jnp.asarray(logits)))
+    ref = float(F.softplus(-torch.from_numpy(logits)).mean())
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_d_loss_matches_torch():
+    rs = np.random.RandomState(1)
+    real = rs.randn(16).astype(np.float32)
+    fake = rs.randn(16).astype(np.float32)
+    ours = float(d_nonsat_loss(jnp.asarray(real), jnp.asarray(fake)))
+    ref = float(
+        F.softplus(-torch.from_numpy(real)).mean()
+        + F.softplus(torch.from_numpy(fake)).mean()
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_loss_direction():
+    """Confident-correct D -> low loss; confident-wrong -> high loss."""
+    good = float(d_nonsat_loss(jnp.full((4,), 10.0), jnp.full((4,), -10.0)))
+    bad = float(d_nonsat_loss(jnp.full((4,), -10.0), jnp.full((4,), 10.0)))
+    assert good < 1e-3 < bad
+    assert float(g_nonsat_loss(jnp.full((4,), 10.0))) < 1e-3
+
+
+def test_r1_penalty_quadratic():
+    """For D(x) = <w, x>, R1 = 0.5 * ||w||^2 regardless of x."""
+    w = jnp.asarray(np.random.RandomState(0).randn(4, 4, 3).astype(np.float32))
+
+    def d_apply(params, x, labels=None):
+        return jnp.sum(x * params, axis=(1, 2, 3))
+
+    x = jnp.ones((2, 4, 4, 3), jnp.float32)
+    pen = float(r1_penalty(d_apply, w, x))
+    np.testing.assert_allclose(pen, 0.5 * float(jnp.sum(w**2)), rtol=1e-5)
+
+
+def test_ema_update_converges():
+    params = {"w": jnp.zeros((3,))}
+    ema = ema_init(params)
+    target = {"w": jnp.ones((3,))}
+    for _ in range(200):
+        ema = ema_update(ema, target, 0.9)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 1.0, atol=1e-6)
+
+
+def test_ema_identity_at_decay_one():
+    ema = {"w": jnp.zeros((3,))}
+    out = ema_update(ema, {"w": jnp.ones((3,))}, 1.0)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
