@@ -1,0 +1,88 @@
+"""CLI entry points (SURVEY.md §8 `cli/`): train / sample / bench with
+preset configs and key=value overrides.
+
+    python -m locate_tpu train cifar10_32 train.global_batch=32
+    python -m locate_tpu sample cifar10_32 --checkpoint runs/cifar10_32
+    python -m locate_tpu bench lsun_bedroom_128
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from locate_tpu.config import get_config, parse_cli_overrides
+
+
+def _split_args(argv: List[str]):
+    flags = {}
+    overrides = []
+    for a in argv:
+        if a.startswith("--"):
+            key, _, val = a[2:].partition("=")
+            flags[key] = val or True
+        else:
+            overrides.append(a)
+    return flags, parse_cli_overrides(overrides)
+
+
+def cmd_train(argv: List[str]) -> int:
+    from locate_tpu.train.loop import train
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    train(cfg, resume=not flags.get("no-resume"))
+    return 0
+
+
+def cmd_sample(argv: List[str]) -> int:
+    """Generate an image grid from the latest checkpoint's (EMA) generator."""
+    import jax
+
+    from locate_tpu.io.checkpoint import CheckpointManager
+    from locate_tpu.io.sampling import generate_samples, save_image_grid
+    from locate_tpu.models.gan import build_gan
+    from locate_tpu.train.state import create_train_state
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
+    ckpt_dir = str(flags.get("checkpoint") or cfg.workdir + "/checkpoints")
+    mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
+    state = mgr.restore(state)
+    g_params = state.ema_params if state.ema_params is not None else state.g_params
+    count = int(flags.get("count", 64))
+    seed = int(flags.get("seed", 0))
+    imgs = generate_samples(gan, g_params, jax.random.PRNGKey(seed), count)
+    out = str(flags.get("out") or f"{cfg.workdir}/samples/cli_step_{int(state.step)}.png")
+    save_image_grid(imgs, out)
+    print(f"[locate-tpu] wrote {count} samples (step {int(state.step)}) to {out}")
+    mgr.close()
+    return 0
+
+
+def cmd_bench(argv: List[str]) -> int:
+    import bench
+
+    sys.argv = ["bench.py"] + [a for a in argv if not a.startswith("--")]
+    bench.main()
+    return 0
+
+
+COMMANDS = {"train": cmd_train, "sample": cmd_sample, "bench": cmd_bench}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
+        print(__doc__)
+        print(f"commands: {sorted(COMMANDS)}")
+        return 0 if argv and argv[0] in ("-h", "--help") else 1
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

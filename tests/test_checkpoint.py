@@ -1,0 +1,94 @@
+"""Checkpoint/resume tests (SURVEY.md §5 item 4, §6 "Failure detection"):
+save -> restore round-trips the full TrainState bitwise; killed-and-resumed
+training continues the exact trajectory (fault-injection analogue)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from locate_tpu.io.checkpoint import CheckpointManager
+from locate_tpu.models.gan import build_gan
+from locate_tpu.train.state import create_train_state
+from locate_tpu.train.step import make_train_step
+
+
+def make_batch(cfg, key):
+    img = jax.random.uniform(
+        key, (cfg.train.global_batch, cfg.model.resolution, cfg.model.resolution, 3),
+        minval=-1.0, maxval=1.0,
+    )
+    return {"image": img, "label": jnp.zeros((cfg.train.global_batch,), jnp.int32)}
+
+
+def assert_tree_equal(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_save_restore_roundtrip(tiny_config, tmp_path):
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(state, step=0)
+    restored = mgr.restore(state)
+    assert_tree_equal(state, restored)
+    mgr.close()
+
+
+def test_resume_continues_trajectory(tiny_config, tmp_path):
+    """Train 4 steps straight vs train 2 + checkpoint + restore + 2: final
+    metrics identical (deterministic resume)."""
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    step = jax.jit(make_train_step(cfg, gan))
+    batch = make_batch(cfg, jax.random.PRNGKey(1))
+
+    state_a = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    for _ in range(4):
+        state_a, metrics_a = step(state_a, batch)
+
+    state_b = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    for _ in range(2):
+        state_b, _ = step(state_b, batch)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(state_b)
+    restored = mgr.restore(state_b)
+    for _ in range(2):
+        restored, metrics_b = step(restored, batch)
+    mgr.close()
+
+    assert int(restored.step) == int(state_a.step) == 4
+    for k in metrics_a:
+        np.testing.assert_array_equal(
+            np.asarray(metrics_a[k]), np.asarray(metrics_b[k]), err_msg=k
+        )
+
+
+def test_keep_last_k(tiny_config, tmp_path):
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    for s in (1, 2, 3):
+        state = dataclasses.replace(state, step=jnp.asarray(s, jnp.int32))
+        mgr.save(state)
+    assert mgr.latest_step() == 3
+    with pytest.raises(Exception):
+        mgr.restore(state, step=1)  # evicted by keep=2
+    mgr.close()
+
+
+def test_restore_missing_raises(tiny_config, tmp_path):
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "empty"), keep=2)
+    with pytest.raises(FileNotFoundError):
+        mgr.restore(state)
+    mgr.close()
