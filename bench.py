@@ -35,9 +35,14 @@ def main() -> None:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    use_pallas = "xla" not in sys.argv[3:]
     cfg = get_config(
         "lsun_bedroom_128",
-        {"train.global_batch": str(batch), "train.compute_dtype": "bfloat16"},
+        {
+            "train.global_batch": str(batch),
+            "train.compute_dtype": "bfloat16",
+            "use_pallas": "true" if use_pallas else "false",
+        },
     )
     cfg = dataclasses.replace(
         cfg, parallel=dataclasses.replace(cfg.parallel, data_parallel=1)

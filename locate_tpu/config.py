@@ -78,6 +78,9 @@ class ModelConfig:
     # Class-conditional GAN (BASELINE config 4). 0 disables conditioning.
     num_classes: int = 0
     class_embed_dim: int = 128
+    # Run residual-form attention as the fused Pallas kernel (set from the
+    # top-level Config.use_pallas by build_gan).
+    use_pallas: bool = False
 
     @property
     def num_stages(self) -> int:

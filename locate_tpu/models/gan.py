@@ -43,6 +43,8 @@ class GAN:
 def build_gan(cfg: Config) -> GAN:
     compute_dtype = jnp.dtype(cfg.train.compute_dtype)
     model_cfg = cfg.model
+    if cfg.use_pallas and not model_cfg.use_pallas:
+        model_cfg = dataclasses.replace(model_cfg, use_pallas=True)
     return GAN(
         config=model_cfg,
         generator=build_generator(model_cfg, compute_dtype),

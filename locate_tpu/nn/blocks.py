@@ -93,7 +93,8 @@ def generator_stage(
     if cfg.attention_at(resolution):
         layers.append(
             locate_attention(
-                out_ch, cfg.attention, cfg.act, cfg.leaky_slope, compute_dtype
+                out_ch, cfg.attention, cfg.act, cfg.leaky_slope, compute_dtype,
+                use_pallas=cfg.use_pallas,
             )
         )
     return sequential(*layers)
@@ -116,7 +117,8 @@ def discriminator_stage(
     if cfg.attention_at(resolution):
         layers.append(
             locate_attention(
-                out_ch, cfg.attention, cfg.act, cfg.leaky_slope, compute_dtype
+                out_ch, cfg.attention, cfg.act, cfg.leaky_slope, compute_dtype,
+                use_pallas=cfg.use_pallas,
             )
         )
     if not last:

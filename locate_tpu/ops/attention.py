@@ -105,8 +105,14 @@ def locate_attention(
     act: str = "leaky_relu",
     leaky_slope: float = 0.2,
     compute_dtype: Optional[jnp.dtype] = None,
+    use_pallas: bool = False,
 ) -> Layer:
-    """Location-based attention block for feature maps of `channels`."""
+    """Location-based attention block for feature maps of `channels`.
+
+    With `use_pallas` the residual-form block runs as the fused Pallas
+    kernel (ops/pallas/fused_attention.py) on TPU backends; the XLA
+    composition below remains the fallback and the numerical oracle.
+    """
     hidden = max(8, channels // cfg.bottleneck)
     out_ch = channels if cfg.per_channel else 1
     in_ch = channels + cfg.pos_features
@@ -123,7 +129,7 @@ def locate_attention(
         k1, k2 = jax.random.split(key)
         return {"to_hidden": to_hidden.init(k1), "to_logits": to_logits.init(k2)}
 
-    def apply(params, x):
+    def apply_xla(params, x):
         n, h, w, c = x.shape
         cd = compute_dtype or x.dtype
         feats = x.astype(cd)
@@ -137,4 +143,28 @@ def locate_attention(
         logits = to_logits.apply(params["to_logits"], hdn)
         return locate_gate(x, logits, cfg.mode, cfg.residual)
 
-    return Layer(init=init, apply=apply)
+    def apply_pallas(params, x):
+        from locate_tpu.ops.pallas.fused_attention import fused_locate_attention
+
+        n, h, w, c = x.shape
+        cd = compute_dtype or x.dtype
+        w1 = params["to_hidden"]["w"][0, 0]            # (C+P, Hd)
+        w1x, w1p = w1[:c], w1[c:]
+        b1 = params["to_hidden"]["b"]
+        w2 = params["to_logits"]["w"][0, 0]            # (Hd, Cout)
+        b2 = params["to_logits"]["b"]
+        if cfg.pos_features:
+            pos = coord_features(h, w, cfg.pos_features, jnp.float32)
+            pos_proj = pos.reshape(h * w, cfg.pos_features) @ w1p.astype(jnp.float32)
+        else:
+            pos_proj = jnp.zeros((h * w, w1.shape[1]), jnp.float32)
+        # Interpret mode off-TPU so tests exercise the same kernel logic.
+        interpret = jax.default_backend() == "cpu"
+        return fused_locate_attention(
+            x.astype(cd), pos_proj, w1x, b1, w2, b2,
+            mode=cfg.mode, act=act, leaky_slope=leaky_slope,
+            interpret=interpret,
+        )
+
+    use_fused = use_pallas and cfg.residual
+    return Layer(init=init, apply=apply_pallas if use_fused else apply_xla)
