@@ -64,6 +64,45 @@ def cmd_sample(argv: List[str]) -> int:
     return 0
 
 
+def cmd_eval(argv: List[str]) -> int:
+    """Offline FID/KID eval of the latest checkpoint vs the config's
+    dataset (rFID/rKID with the built-in random extractor; pass
+    --extractor=path.npz for vendored weights)."""
+    import json
+
+    import jax
+
+    from locate_tpu.data.datasets import make_dataset
+    from locate_tpu.io.checkpoint import CheckpointManager
+    from locate_tpu.io.fid import NpzFeatureExtractor, RandomConvFeatures, evaluate_generator
+    from locate_tpu.models.gan import build_gan
+    from locate_tpu.train.state import create_train_state
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
+    ckpt_dir = str(flags.get("checkpoint") or cfg.workdir + "/checkpoints")
+    mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
+    state = mgr.restore(state)
+    g_params = state.ema_params if state.ema_params is not None else state.g_params
+    extractor = (
+        NpzFeatureExtractor(str(flags["extractor"]))
+        if flags.get("extractor")
+        else RandomConvFeatures()
+    )
+    result = evaluate_generator(
+        gan, g_params, make_dataset(cfg.data),
+        n_samples=int(flags.get("samples", 1024)),
+        extractor=extractor,
+    )
+    result["step"] = int(state.step)
+    print(json.dumps(result))
+    mgr.close()
+    return 0
+
+
 def cmd_bench(argv: List[str]) -> int:
     import bench
 
@@ -72,7 +111,12 @@ def cmd_bench(argv: List[str]) -> int:
     return 0
 
 
-COMMANDS = {"train": cmd_train, "sample": cmd_sample, "bench": cmd_bench}
+COMMANDS = {
+    "train": cmd_train,
+    "sample": cmd_sample,
+    "eval": cmd_eval,
+    "bench": cmd_bench,
+}
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -154,6 +154,13 @@ class TrainConfig:
     # Numerics: params/opt-state in fp32, compute in bf16 on TPU.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Numerics sanitizer (SURVEY.md §6): wrap both optimizers in
+    # optax.apply_if_finite so a non-finite gradient skips the update
+    # instead of poisoning the params; aborts after this many consecutive
+    # bad steps. 0 disables the wrapper.
+    max_nonfinite_skips: int = 0
+    # TensorBoard scalars/images under <workdir>/tb (lazy TF import).
+    tensorboard: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -242,7 +249,7 @@ def _ffhq_256() -> Config:
             num_classes=10,
         ),
         data=DataConfig(dataset="folder", resolution=256, num_classes=10),
-        train=TrainConfig(global_batch=128),
+        train=TrainConfig(global_batch=128, max_nonfinite_skips=50),
         parallel=ParallelConfig(data_parallel=-1),
         workdir="runs/ffhq_256",
     )
@@ -258,7 +265,7 @@ def _ffhq_512() -> Config:
             max_channels=512,
         ),
         data=DataConfig(dataset="folder", resolution=512),
-        train=TrainConfig(global_batch=256),
+        train=TrainConfig(global_batch=256, max_nonfinite_skips=50),
         parallel=ParallelConfig(data_parallel=-1),
         use_pallas=True,
         workdir="runs/ffhq_512",

@@ -1,0 +1,233 @@
+"""FID/KID evaluation (SURVEY.md §6 "Metrics": FID as an offline eval entry
+point; BASELINE quality target is "FID parity ... at each resolution").
+
+Offline-environment note (BASELINE.md "Open items"): Inception weights
+cannot be downloaded here and torchvision is not installed, so this module
+provides
+
+  * exact Frechet-distance / MMD math usable with ANY feature extractor,
+  * `RandomConvFeatures` — a deterministic randomly-initialized conv
+    feature net. Frechet distance under random conv features ("rFID") is a
+    valid *relative* metric (same extractor, same data => comparable across
+    checkpoints/models); it is not numerically comparable to published
+    Inception-FID numbers,
+  * `NpzFeatureExtractor` — loads a user-vendored extractor (conv weights
+    in an .npz) so true Inception-FID plugs in the moment the driver
+    vendors weights, with zero code change to the pipeline.
+
+KID (kernel Inception distance; polynomial-kernel MMD^2, unbiased) is also
+provided — it needs no matrix sqrt and has an unbiased small-sample
+estimator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+FeatureFn = Callable[[np.ndarray], np.ndarray]  # uint8 NHWC -> (N, D) f32
+
+
+# ---------------------------------------------------------------------------
+# statistics
+# ---------------------------------------------------------------------------
+
+
+def feature_stats(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) of an (N, D) feature matrix."""
+    features = np.asarray(features, np.float64)
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID = |mu1-mu2|^2 + Tr(s1 + s2 - 2 sqrtm(s1 s2))."""
+    from scipy import linalg
+
+    mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
+    def _sqrtm(a):
+        out = linalg.sqrtm(a)
+        # scipy < 1.17 returned (sqrtm, errest) with disp=False; >= 1.17
+        # returns just the array
+        return out[0] if isinstance(out, tuple) else out
+
+    diff = mu1 - mu2
+    covmean = _sqrtm(sigma1 @ sigma2)
+    if not np.isfinite(covmean).all():
+        # regularize near-singular covariances
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    covmean = np.real(covmean)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def kid(features_a: np.ndarray, features_b: np.ndarray, subset_size: int = 512,
+        n_subsets: int = 10, seed: int = 0) -> float:
+    """Unbiased polynomial-kernel MMD^2 (k(x,y) = (x.y/D + 1)^3), averaged
+    over random subsets (the standard KID estimator)."""
+    a = np.asarray(features_a, np.float64)
+    b = np.asarray(features_b, np.float64)
+    d = a.shape[1]
+    rng = np.random.default_rng(seed)
+    m = min(subset_size, len(a), len(b))
+    vals = []
+    for _ in range(n_subsets):
+        xa = a[rng.choice(len(a), m, replace=False)]
+        xb = b[rng.choice(len(b), m, replace=False)]
+        kaa = (xa @ xa.T / d + 1.0) ** 3
+        kbb = (xb @ xb.T / d + 1.0) ** 3
+        kab = (xa @ xb.T / d + 1.0) ** 3
+        np.fill_diagonal(kaa, 0.0)
+        np.fill_diagonal(kbb, 0.0)
+        mmd = (
+            kaa.sum() / (m * (m - 1))
+            + kbb.sum() / (m * (m - 1))
+            - 2.0 * kab.mean()
+        )
+        vals.append(mmd)
+    return float(np.mean(vals))
+
+
+# ---------------------------------------------------------------------------
+# feature extractors
+# ---------------------------------------------------------------------------
+
+
+class RandomConvFeatures:
+    """Deterministic random-weight conv feature net (JAX, jitted once).
+
+    4 stride-2 conv stages (3x3, leaky-relu) + global mean/std pooling over
+    the last two stages -> ~2*(c3+c4) features. Weights depend only on
+    (seed, channels), NOT on input resolution, so stats are comparable
+    across models generating the same resolution.
+    """
+
+    def __init__(self, seed: int = 0, width: int = 64):
+        self.seed = seed
+        self.width = width
+        self._apply = None
+
+    def _build(self):
+        width = self.width
+        key = jax.random.PRNGKey(self.seed)
+        chans = [3, width, width * 2, width * 4, width * 4]
+        keys = jax.random.split(key, len(chans) - 1)
+        ws = [
+            jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
+            * np.sqrt(2.0 / (9 * cin))
+            for k, cin, cout in zip(keys, chans[:-1], chans[1:])
+        ]
+
+        @jax.jit
+        def apply(x):  # x: (N, H, W, 3) f32 in [-1, 1]
+            feats = []
+            for i, w in enumerate(ws):
+                x = jax.lax.conv_general_dilated(
+                    x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+                )
+                x = jax.nn.leaky_relu(x, 0.2)
+                if i >= len(ws) - 2:
+                    feats.append(x.mean(axis=(1, 2)))
+                    feats.append(x.std(axis=(1, 2)))
+            return jnp.concatenate(feats, axis=-1)
+
+        return apply
+
+    def __call__(self, images_u8: np.ndarray) -> np.ndarray:
+        if self._apply is None:
+            self._apply = self._build()
+        x = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
+        return np.asarray(self._apply(x), np.float32)
+
+
+class NpzFeatureExtractor:
+    """Feature net from vendored weights: an .npz of HWIO conv kernels
+    named w0..wK (stride 2 each) applied like RandomConvFeatures, with
+    global mean pooling of the final stage. Lets a driver-supplied
+    (Inception-distilled or otherwise) extractor slot in without code
+    changes."""
+
+    def __init__(self, path: str):
+        data = np.load(path)
+        self.ws = [jnp.asarray(data[f"w{i}"]) for i in range(len(data.files))]
+        self._apply = None
+
+    def _build(self):
+        ws = self.ws
+
+        @jax.jit
+        def apply(x):
+            for w in ws:
+                x = jax.lax.conv_general_dilated(
+                    x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+                )
+                x = jax.nn.leaky_relu(x, 0.2)
+            return x.mean(axis=(1, 2))
+
+        return apply
+
+    def __call__(self, images_u8: np.ndarray) -> np.ndarray:
+        if self._apply is None:
+            self._apply = self._build()
+        x = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
+        return np.asarray(self._apply(x), np.float32)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end evaluation
+# ---------------------------------------------------------------------------
+
+
+def features_in_batches(images_u8: np.ndarray, extractor: FeatureFn,
+                        batch: int = 64) -> np.ndarray:
+    outs = []
+    for i in range(0, len(images_u8), batch):
+        outs.append(extractor(images_u8[i : i + batch]))
+    return np.concatenate(outs, axis=0)
+
+
+def evaluate_generator(
+    gan,
+    g_params,
+    dataset,
+    *,
+    n_samples: int = 1024,
+    extractor: Optional[FeatureFn] = None,
+    batch: int = 64,
+    seed: int = 0,
+) -> dict:
+    """Generate n_samples, extract features for both generated and real
+    examples, return {"fid": ..., "kid": ...} (rFID/rKID with the default
+    random extractor)."""
+    from locate_tpu.io.sampling import generate_samples
+
+    extractor = extractor or RandomConvFeatures()
+    key = jax.random.PRNGKey(seed)
+    fake_feats = []
+    for i in range(0, n_samples, batch):
+        k = jax.random.fold_in(key, i)
+        n = min(batch, n_samples - i)
+        imgs = generate_samples(gan, g_params, k, n)
+        fake_feats.append(extractor(imgs))
+    fake = np.concatenate(fake_feats, axis=0)
+
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(dataset), min(n_samples, len(dataset)), replace=False)
+    real_imgs = np.stack([dataset.example(int(i))[0] for i in idx])
+    real = features_in_batches(real_imgs, extractor, batch)
+
+    mu_f, s_f = feature_stats(fake)
+    mu_r, s_r = feature_stats(real)
+    return {
+        "fid": frechet_distance(mu_f, s_f, mu_r, s_r),
+        "kid": kid(fake, real),
+        "n_fake": len(fake),
+        "n_real": len(real),
+    }

@@ -4,6 +4,7 @@ available (BASELINE config 3)."""
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -14,6 +15,13 @@ import numpy as np
 from locate_tpu.models.gan import GAN
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_apply(apply_fn):
+    # Cache per generator function: a fresh jax.jit wrapper every call
+    # would retrace (and on TPU recompile) at each periodic sample dump.
+    return jax.jit(apply_fn)
+
+
 def generate_samples(
     gan: GAN, g_params, key: jax.Array, count: int, labels=None
 ) -> np.ndarray:
@@ -21,7 +29,7 @@ def generate_samples(
     z = gan.sample_latents(key, count)
     if labels is None and gan.config.num_classes:
         labels = jnp.arange(count) % gan.config.num_classes
-    imgs = jax.jit(gan.generator.apply)(g_params, z, labels)
+    imgs = _jitted_apply(gan.generator.apply)(g_params, z, labels)
     return to_uint8(np.asarray(jax.device_get(imgs), np.float32))
 
 

@@ -9,7 +9,6 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from locate_tpu.config import Config
 from locate_tpu.data.pipeline import make_input_pipeline
@@ -19,6 +18,7 @@ from locate_tpu.models.gan import GAN, build_gan
 from locate_tpu.parallel.mesh import make_mesh
 from locate_tpu.parallel.sharding import make_sharded_train_step, place_train_state
 from locate_tpu.train.state import TrainState, create_train_state
+from locate_tpu.utils.metrics import MetricsLogger
 from locate_tpu.utils.profiling import StepTimer, trace_annotation
 
 
@@ -59,6 +59,9 @@ def train(
         )
 
         timer = StepTimer(cfg.train.global_batch)
+        logger = MetricsLogger(
+            os.path.join(cfg.workdir, "tb") if cfg.train.tensorboard else None
+        )
         sample_key = jax.random.PRNGKey(cfg.train.seed + 1)  # fixed grid latents
         metrics = {}
         start = int(state.step)
@@ -73,7 +76,7 @@ def train(
                 host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 host_metrics["images_per_sec"] = timer.images_per_sec
                 host_metrics["sec_per_step"] = timer.sec_per_step
-                _log(step_num, host_metrics)
+                logger.log_scalars(step_num, host_metrics)
                 if "on_metrics" in hooks:
                     hooks["on_metrics"](step_num, host_metrics)
 
@@ -84,6 +87,7 @@ def train(
                 imgs = generate_samples(gan, g_params, sample_key, min(64, cfg.train.global_batch))
                 path = os.path.join(cfg.workdir, "samples", f"step_{step_num:08d}.png")
                 save_image_grid(imgs, path)
+                logger.log_images(step_num, "samples", imgs)
                 if "on_samples" in hooks:
                     hooks["on_samples"](step_num, imgs)
 
@@ -91,12 +95,6 @@ def train(
                 step_num % cfg.train.checkpoint_every == 0 or step_num == total_steps
             ):
                 ckpt.save(state)
+        logger.flush()
         ckpt.close()
     return state
-
-
-def _log(step: int, metrics: Dict[str, float]) -> None:
-    parts = " ".join(
-        f"{k}={v:.4g}" for k, v in sorted(metrics.items()) if np.isfinite(v)
-    )
-    print(f"[locate-tpu] step {step} {parts}", flush=True)

@@ -31,8 +31,8 @@ class TrainState:
 def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
     k_init, k_train = jax.random.split(key)
     params = gan.init(k_init)
-    g_opt = make_optimizer(cfg.train.g_opt)
-    d_opt = make_optimizer(cfg.train.d_opt)
+    g_opt = make_optimizer(cfg.train.g_opt, cfg.train.max_nonfinite_skips)
+    d_opt = make_optimizer(cfg.train.d_opt, cfg.train.max_nonfinite_skips)
     ema = ema_init(params["generator"]) if cfg.train.ema_decay > 0 else None
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -39,8 +39,8 @@ def make_train_step(
     """Build the (unjitted) train step. If `axis_name` is set the step is
     meant to run under `shard_map` over that mesh axis and psum-reduces
     gradients/metrics across it (SURVEY.md §3.3)."""
-    g_opt = make_optimizer(cfg.train.g_opt)
-    d_opt = make_optimizer(cfg.train.d_opt)
+    g_opt = make_optimizer(cfg.train.g_opt, cfg.train.max_nonfinite_skips)
+    d_opt = make_optimizer(cfg.train.d_opt, cfg.train.max_nonfinite_skips)
     tcfg = cfg.train
     conditional = gan.config.num_classes > 0
 

@@ -1,0 +1,50 @@
+"""Metrics/observability (SURVEY.md §6): the reference printed scalar
+losses and dumped sample grids; the rebuild keeps those two channels and
+adds optional TensorBoard (scalars + image grids) via tf.summary.
+
+TensorFlow import is lazy and only happens when TB logging is enabled —
+importing TF costs ~10s and is never needed in the hot path."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+    """stdout + optional TensorBoard. `log_scalars` / `log_images` are
+    no-ops for TB when `logdir` is None."""
+
+    def __init__(self, logdir: Optional[str] = None):
+        self._writer = None
+        if logdir:
+            import tensorflow as tf  # lazy: heavy import
+
+            self._writer = tf.summary.create_file_writer(logdir)
+
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        parts = " ".join(
+            f"{k}={v:.4g}" for k, v in sorted(scalars.items()) if np.isfinite(v)
+        )
+        bad = [k for k, v in scalars.items() if not np.isfinite(v)]
+        suffix = f" NONFINITE={bad}" if bad else ""
+        print(f"[locate-tpu] step {step} {parts}{suffix}", flush=True)
+        if self._writer is not None:
+            import tensorflow as tf
+
+            with self._writer.as_default(step=step):
+                for k, v in scalars.items():
+                    tf.summary.scalar(k, v)
+
+    def log_images(self, step: int, tag: str, images_u8: np.ndarray) -> None:
+        if self._writer is None:
+            return
+        import tensorflow as tf
+
+        with self._writer.as_default(step=step):
+            tf.summary.image(tag, images_u8[:16], max_outputs=16)
+
+    def flush(self) -> None:
+        if self._writer is not None:
+            self._writer.flush()

@@ -1,0 +1,100 @@
+"""FID/KID evaluation tests: exact math on known Gaussians, metric
+sanity (identical sets -> ~0; disjoint distributions -> large), and the
+end-to-end generator evaluation entry."""
+
+import numpy as np
+import jax
+import pytest
+
+from locate_tpu.data.datasets import SyntheticImages
+from locate_tpu.io.fid import (
+    RandomConvFeatures,
+    evaluate_generator,
+    feature_stats,
+    features_in_batches,
+    frechet_distance,
+    kid,
+)
+
+
+def test_frechet_closed_form():
+    """For 1-D Gaussians: FID = (m1-m2)^2 + (s1-s2)^2 — check against the
+    closed form via explicit stats."""
+    d = frechet_distance(np.array([1.0]), np.array([[4.0]]),
+                         np.array([3.0]), np.array([[9.0]]))
+    # (1-3)^2 + (2-3)^2 = 4 + 1 = 5
+    np.testing.assert_allclose(d, 5.0, rtol=1e-6)
+
+
+def test_frechet_identical_is_zero():
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(500, 8))
+    mu, s = feature_stats(f)
+    assert abs(frechet_distance(mu, s, mu, s)) < 1e-8
+
+
+def test_frechet_orders_distributions():
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(1000, 8))
+    near = rng.normal(loc=0.1, size=(1000, 8))
+    far = rng.normal(loc=2.0, size=(1000, 8))
+    mu0, s0 = feature_stats(base)
+    d_near = frechet_distance(*feature_stats(near), mu0, s0)
+    d_far = frechet_distance(*feature_stats(far), mu0, s0)
+    assert 0 < d_near < d_far
+
+
+def test_kid_identical_near_zero_and_orders():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(600, 8))
+    b = rng.normal(size=(600, 8))
+    far = rng.normal(loc=1.5, size=(600, 8))
+    same = abs(kid(a, b, subset_size=256, n_subsets=4))
+    diff = kid(a, far, subset_size=256, n_subsets=4)
+    assert same < 0.05
+    assert diff > 10 * same
+
+
+def test_random_features_deterministic():
+    ex = RandomConvFeatures(seed=1, width=8)
+    imgs = np.random.RandomState(0).randint(0, 255, (4, 32, 32, 3), np.uint8)
+    f1 = ex(imgs)
+    f2 = RandomConvFeatures(seed=1, width=8)(imgs)
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape[0] == 4 and f1.ndim == 2
+    f3 = RandomConvFeatures(seed=2, width=8)(imgs)
+    assert not np.allclose(f1, f3)
+
+
+def test_features_in_batches_consistent():
+    ex = RandomConvFeatures(seed=0, width=8)
+    imgs = np.random.RandomState(0).randint(0, 255, (10, 16, 16, 3), np.uint8)
+    whole = ex(imgs)
+    batched = features_in_batches(imgs, ex, batch=3)
+    np.testing.assert_allclose(whole, batched, rtol=1e-5, atol=1e-5)
+
+
+def test_evaluate_generator_end_to_end(tiny_config):
+    from locate_tpu.models.gan import build_gan
+
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    params = gan.init(jax.random.PRNGKey(0))
+    ds = SyntheticImages(cfg.model.resolution, 3, length=64)
+    result = evaluate_generator(
+        gan, params["generator"], ds,
+        n_samples=32, batch=16,
+        extractor=RandomConvFeatures(seed=0, width=8),
+    )
+    assert np.isfinite(result["fid"]) and result["fid"] > 0
+    assert np.isfinite(result["kid"])
+    assert result["n_fake"] == 32
+
+    # real-vs-real sanity: the dataset against itself scores (near) zero
+    real = np.stack([ds.example(i)[0] for i in range(48)])
+    ex = RandomConvFeatures(seed=0, width=8)
+    f = features_in_batches(real, ex, 16)
+    mu, s = feature_stats(f)
+    assert frechet_distance(mu, s, mu, s) < 1e-6
+    # untrained generator is far worse than real-vs-real
+    assert result["fid"] > 1e-3
