@@ -154,6 +154,19 @@ class ImageFolder:
     def __len__(self) -> int:
         return len(self.files)
 
+    def batch_fast(self, indices, flips):
+        """Native batched decode+crop+resize+flip (C++ thread pool; see
+        data/_native/loader.cc). Raises if the native lib is unavailable or
+        a file fails to decode — the producer falls back to `example`."""
+        from locate_tpu.data import native
+
+        if self.channels != 3 or not native.available():
+            raise RuntimeError("native loader unavailable")
+        paths = [self.files[int(i)] for i in indices]
+        images = native.decode_batch(paths, self.resolution, flips)
+        labels = np.asarray([self.labels[int(i)] for i in indices], np.int32)
+        return images, labels
+
     def example(self, index: int, rng=None) -> Example:
         from PIL import Image
 

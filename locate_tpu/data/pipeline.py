@@ -74,28 +74,57 @@ class BatchProducer:
 
     def _run(self):
         stream = self._index_stream()
+        use_fast = hasattr(self.dataset, "batch_fast")
+        indices, flips = [], []
         images, labels = [], []
         try:
             for idx, rng in stream:
                 if self._stop.is_set():
                     return
-                img, label = self.dataset.example(idx, rng)
-                if self.random_flip and rng.random() < 0.5:
-                    img = img[:, ::-1]
-                images.append(np.ascontiguousarray(img))
-                labels.append(label)
-                if len(images) == self.batch_size:
+                flip = bool(self.random_flip and rng.random() < 0.5)
+                if use_fast:
+                    indices.append(idx)
+                    flips.append(flip)
+                    if len(indices) < self.batch_size:
+                        continue
+                    try:
+                        imgs, labs = self.dataset.batch_fast(indices, flips)
+                        batch = {"image": imgs, "label": labs}
+                    except RuntimeError:
+                        # native loader unavailable: permanent per-example
+                        # fallback (no retry churn)
+                        use_fast = False
+                        for i, fl in zip(indices, flips):
+                            img, label = self.dataset.example(i, rng)
+                            if fl:
+                                img = img[:, ::-1]
+                            images.append(np.ascontiguousarray(img))
+                            labels.append(label)
+                        batch = {
+                            "image": np.stack(images),
+                            "label": np.asarray(labels, np.int32),
+                        }
+                        images, labels = [], []
+                    indices, flips = [], []
+                else:
+                    img, label = self.dataset.example(idx, rng)
+                    if flip:
+                        img = img[:, ::-1]
+                    images.append(np.ascontiguousarray(img))
+                    labels.append(label)
+                    if len(images) < self.batch_size:
+                        continue
                     batch = {
                         "image": np.stack(images),
                         "label": np.asarray(labels, np.int32),
                     }
                     images, labels = [], []
-                    while not self._stop.is_set():
-                        try:
-                            self._queue.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
         except Exception as e:  # surface worker errors to the consumer
             self._queue.put({"__error__": e})  # type: ignore[dict-item]
 
