@@ -27,12 +27,19 @@ def _split_args(argv: List[str]):
 
 
 def cmd_train(argv: List[str]) -> int:
+    from locate_tpu.parallel.distributed import initialize_from_env
     from locate_tpu.train.loop import train
+    from locate_tpu.utils.profiling import profiler_trace
 
+    initialize_from_env()  # no-op single-process; pod launchers set env
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
     cfg = get_config(preset, overrides)
-    train(cfg, resume=not flags.get("no-resume"))
+    trace_dir = flags.get("profile")
+    with profiler_trace(
+        (cfg.workdir + "/trace") if trace_dir is True else trace_dir
+    ):
+        train(cfg, resume=not flags.get("no-resume"))
     return 0
 
 

@@ -81,6 +81,10 @@ class ModelConfig:
     # Run residual-form attention as the fused Pallas kernel (set from the
     # top-level Config.use_pallas by build_gan).
     use_pallas: bool = False
+    # Rematerialize each resolution stage in the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for O(stages) less
+    # activation HBM — needed at 512^2 (SURVEY.md §8 M7).
+    remat: bool = False
 
     @property
     def num_stages(self) -> int:
@@ -263,6 +267,7 @@ def _ffhq_512() -> Config:
             resolution=512,
             base_channels=512,
             max_channels=512,
+            remat=True,
         ),
         data=DataConfig(dataset="folder", resolution=512),
         train=TrainConfig(global_batch=256, max_nonfinite_skips=50),

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from locate_tpu.config import ModelConfig
-from locate_tpu.nn.core import sequential
+from locate_tpu.nn.core import maybe_remat, sequential
 from locate_tpu.nn.blocks import discriminator_stage, from_rgb
 from locate_tpu.ops import initializers
 from locate_tpu.ops.activations import make_act
@@ -58,6 +58,8 @@ def build_discriminator(
         )
         for i in range(n - 1, -1, -1)
     ]
+    if cfg.remat:
+        stages = [maybe_remat(s) for s in stages]
     trunk = sequential(*stages)
     neck = sequential(
         make_norm(cfg.norm, chans[0], cfg.group_norm_groups, compute_dtype=compute_dtype),

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from locate_tpu.config import ModelConfig
-from locate_tpu.nn.core import sequential
+from locate_tpu.nn.core import maybe_remat, sequential
 from locate_tpu.nn.blocks import generator_stage, to_rgb
 from locate_tpu.ops import initializers
 from locate_tpu.ops.activations import make_act
@@ -54,6 +54,8 @@ def build_generator(
         )
         for i in range(len(chans))
     ]
+    if cfg.remat:
+        stages = [maybe_remat(s) for s in stages]
     trunk = sequential(*stages)
     head = sequential(
         make_norm(cfg.norm, chans[-1], cfg.group_norm_groups, compute_dtype=compute_dtype),

@@ -86,3 +86,10 @@ def named(**layers: Layer) -> Layer:
 
 def param_count(params: Params) -> int:
     return sum(p.size for p in jax.tree.leaves(params))
+
+
+def maybe_remat(inner: Layer) -> Layer:
+    """Rematerialize `inner` on the backward pass (jax.checkpoint): its
+    activations are recomputed instead of stored — the standard
+    FLOPs-for-HBM trade at 512^2 (SURVEY.md §8 M7)."""
+    return Layer(init=inner.init, apply=jax.checkpoint(inner.apply))
