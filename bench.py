@@ -33,15 +33,17 @@ def main() -> None:
     from locate_tpu.parallel.sharding import make_sharded_train_step, place_train_state
     from locate_tpu.train.state import create_train_state
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     use_pallas = "xla" not in sys.argv[3:]
+    fused = "fused" in sys.argv[3:]
     cfg = get_config(
         "lsun_bedroom_128",
         {
             "train.global_batch": str(batch),
             "train.compute_dtype": "bfloat16",
             "use_pallas": "true" if use_pallas else "false",
+            "train.fused_step": "true" if fused else "false",
         },
     )
     cfg = dataclasses.replace(

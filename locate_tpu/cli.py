@@ -71,6 +71,34 @@ def cmd_sample(argv: List[str]) -> int:
     return 0
 
 
+def cmd_export(argv: List[str]) -> int:
+    """Export the latest checkpoint's (EMA) generator to a standalone .npz
+    + .json serving artifact."""
+    import jax
+
+    from locate_tpu.io.checkpoint import CheckpointManager
+    from locate_tpu.io.export import export_generator
+    from locate_tpu.models.gan import build_gan
+    from locate_tpu.train.state import create_train_state
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
+    mgr = CheckpointManager(
+        str(flags.get("checkpoint") or cfg.workdir + "/checkpoints"),
+        keep=cfg.train.keep_checkpoints,
+    )
+    state = mgr.restore(state)
+    g_params = state.ema_params if state.ema_params is not None else state.g_params
+    out = str(flags.get("out") or f"{cfg.workdir}/export/generator_{int(state.step)}")
+    path = export_generator(gan.config, g_params, out)
+    print(f"[locate-tpu] exported generator (step {int(state.step)}) to {path}")
+    mgr.close()
+    return 0
+
+
 def cmd_eval(argv: List[str]) -> int:
     """Offline FID/KID eval of the latest checkpoint vs the config's
     dataset (rFID/rKID with the built-in random extractor; pass
@@ -122,6 +150,7 @@ COMMANDS = {
     "train": cmd_train,
     "sample": cmd_sample,
     "eval": cmd_eval,
+    "export": cmd_export,
     "bench": cmd_bench,
 }
 

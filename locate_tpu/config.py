@@ -145,6 +145,19 @@ class TrainConfig:
     global_batch: int = 64
     g_opt: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     d_opt: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    # GAN loss: "nonsat" (reference behavior) or "hinge".
+    loss: str = "nonsat"
+    # Fused simultaneous step (FusedProp-style, PAPERS.md: arXiv
+    # 2004.03335): share one latent batch and one fake forward between the
+    # D and G losses, computing both gradients against the CURRENT params
+    # (simultaneous instead of alternating updates). XLA CSE dedupes the
+    # shared forwards -> ~1.3-1.5x step speedup; slightly different
+    # training dynamics, so off by default (reference parity).
+    fused_step: bool = False
+    # Optional LR schedule applied to both optimizers:
+    # "constant" | "cosine" | "linear_warmup_cosine".
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
     # EMA generator for sampling (BASELINE config 3). 0 disables.
     ema_decay: float = 0.999
     # Lazy R1 gradient penalty on D every `r1_interval` steps; 0 disables.

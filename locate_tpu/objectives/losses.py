@@ -29,6 +29,29 @@ def d_nonsat_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
     return real + fake
 
 
+def g_hinge_loss(fake_logits: jax.Array) -> jax.Array:
+    """Generator hinge loss: -E[D(fake)] (the geometric-GAN form used by
+    SAGAN/BigGAN; offered as a config option alongside the reference's
+    non-saturating loss)."""
+    return -jnp.mean(fake_logits.astype(jnp.float32))
+
+
+def d_hinge_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
+    """Discriminator hinge loss: E[relu(1 - D(real))] + E[relu(1 + D(fake))]."""
+    real = jnp.mean(jax.nn.relu(1.0 - real_logits.astype(jnp.float32)))
+    fake = jnp.mean(jax.nn.relu(1.0 + fake_logits.astype(jnp.float32)))
+    return real + fake
+
+
+def get_losses(kind: str):
+    """(g_loss_fn, d_loss_fn) for a configured loss family."""
+    if kind == "nonsat":
+        return g_nonsat_loss, d_nonsat_loss
+    if kind == "hinge":
+        return g_hinge_loss, d_hinge_loss
+    raise ValueError(f"unknown GAN loss {kind!r}")
+
+
 def r1_penalty(d_apply, d_params, real_images: jax.Array, labels=None) -> jax.Array:
     """R1 = 0.5 * E[ ||grad_x D(x)||^2 ] on real images (fp32)."""
 

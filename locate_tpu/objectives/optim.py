@@ -1,21 +1,53 @@
 """Optimizer construction: two Adam-family chains, one per network
-(SURVEY.md §3 "Optimizers + EMA", "alternating step order" per BASELINE)."""
+(SURVEY.md §3 "Optimizers + EMA", "alternating step order" per BASELINE),
+with optional LR schedules and a non-finite-update guard."""
 
 from __future__ import annotations
 
 import optax
 
-from locate_tpu.config import OptimConfig
+from locate_tpu.config import OptimConfig, TrainConfig
+
+
+def make_schedule(base_lr: float, tcfg: TrainConfig):
+    kind = tcfg.lr_schedule
+    if kind == "constant":
+        return base_lr
+    if kind == "cosine":
+        return optax.cosine_decay_schedule(base_lr, decay_steps=tcfg.total_steps)
+    if kind == "linear_warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=base_lr,
+            warmup_steps=max(1, tcfg.warmup_steps),
+            decay_steps=tcfg.total_steps,
+        )
+    raise ValueError(f"unknown lr_schedule {kind!r}")
 
 
 def make_optimizer(
-    cfg: OptimConfig, max_nonfinite_skips: int = 0
+    cfg: OptimConfig,
+    max_nonfinite_skips: int = 0,
+    schedule=None,
 ) -> optax.GradientTransformation:
     opt = optax.adam(
-        learning_rate=cfg.lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps
+        learning_rate=schedule if schedule is not None else cfg.lr,
+        b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
     )
     if max_nonfinite_skips > 0:
         # Numerics sanitizer (SURVEY.md §6): skip non-finite updates, abort
         # after `max_nonfinite_skips` consecutive ones.
         opt = optax.apply_if_finite(opt, max_consecutive_errors=max_nonfinite_skips)
     return opt
+
+
+def make_optimizers(tcfg: TrainConfig):
+    """The (G, D) optimizer pair — single construction point so the train
+    step and the TrainState factory always agree on state structure."""
+    g = make_optimizer(
+        tcfg.g_opt, tcfg.max_nonfinite_skips, make_schedule(tcfg.g_opt.lr, tcfg)
+    )
+    d = make_optimizer(
+        tcfg.d_opt, tcfg.max_nonfinite_skips, make_schedule(tcfg.d_opt.lr, tcfg)
+    )
+    return g, d

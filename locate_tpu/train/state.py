@@ -14,7 +14,7 @@ import optax
 from locate_tpu.config import Config
 from locate_tpu.models.gan import GAN
 from locate_tpu.objectives.ema import ema_init
-from locate_tpu.objectives.optim import make_optimizer
+from locate_tpu.objectives.optim import make_optimizers
 
 
 @flax.struct.dataclass
@@ -31,8 +31,7 @@ class TrainState:
 def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
     k_init, k_train = jax.random.split(key)
     params = gan.init(k_init)
-    g_opt = make_optimizer(cfg.train.g_opt, cfg.train.max_nonfinite_skips)
-    d_opt = make_optimizer(cfg.train.d_opt, cfg.train.max_nonfinite_skips)
+    g_opt, d_opt = make_optimizers(cfg.train)
     ema = ema_init(params["generator"]) if cfg.train.ema_decay > 0 else None
     return TrainState(
         step=jnp.zeros((), jnp.int32),
