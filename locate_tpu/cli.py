@@ -138,6 +138,39 @@ def cmd_eval(argv: List[str]) -> int:
     return 0
 
 
+def cmd_bench_input(argv: List[str]) -> int:
+    """Host input-pipeline throughput (images/sec, no device): measures
+    the producer thread incl. native decode (SURVEY.md hard part #4 —
+    the host must outrun the chips)."""
+    import json
+    import time
+
+    from locate_tpu.data.datasets import make_dataset
+    from locate_tpu.data.pipeline import BatchProducer
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    batches = int(flags.get("batches", 20))
+    prod = BatchProducer(
+        make_dataset(cfg.data), cfg.train.global_batch,
+        random_flip=cfg.data.random_flip, seed=0,
+    )
+    it = iter(prod)
+    next(it)  # warm up
+    t0 = time.perf_counter()
+    for _ in range(batches):
+        next(it)
+    dt = time.perf_counter() - t0
+    prod.close()
+    print(json.dumps({
+        "metric": f"input pipeline images/sec ({cfg.data.dataset}, {cfg.data.resolution}px)",
+        "value": round(batches * cfg.train.global_batch / dt, 2),
+        "unit": "images/sec",
+    }))
+    return 0
+
+
 def cmd_bench(argv: List[str]) -> int:
     import bench
 
@@ -152,6 +185,7 @@ COMMANDS = {
     "eval": cmd_eval,
     "export": cmd_export,
     "bench": cmd_bench,
+    "bench-input": cmd_bench_input,
 }
 
 

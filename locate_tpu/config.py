@@ -158,6 +158,10 @@ class TrainConfig:
     # "constant" | "cosine" | "linear_warmup_cosine".
     lr_schedule: str = "constant"
     warmup_steps: int = 0
+    # Gradient accumulation (optax.MultiSteps): the optimizer applies every
+    # `grad_accum` micro-steps — large effective batches at 512^2 on few
+    # chips without more HBM. 1 disables.
+    grad_accum: int = 1
     # EMA generator for sampling (BASELINE config 3). 0 disables.
     ema_decay: float = 0.999
     # Lazy R1 gradient penalty on D every `r1_interval` steps; 0 disables.
@@ -168,6 +172,10 @@ class TrainConfig:
     sample_every: int = 2000
     checkpoint_every: int = 2000
     keep_checkpoints: int = 3
+    # In-training quality eval (rFID/rKID vs the training dataset) every N
+    # steps; 0 disables (it pauses training for the eval pass).
+    eval_every: int = 0
+    eval_samples: int = 1024
     # Numerics: params/opt-state in fp32, compute in bf16 on TPU.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

@@ -146,20 +146,28 @@ def device_prefetch(
 ) -> Iterator[Batch]:
     """Keep `depth` batches resident on device ahead of the consumer
     (double buffering for depth=2). `sharding` scatters the batch over the
-    `data` mesh axis for DP."""
+    `data` mesh axis for DP.
+
+    Multi-host: each process feeds only its local shard (the producer
+    already walks a disjoint index set); `make_array_from_process_local_data`
+    assembles the logical GLOBAL batch from per-host data, so the jitted
+    global-program step sees one (global_batch, ...) array exactly as in
+    single-process runs.
+    """
     import collections
 
     buf = collections.deque()
+    multihost = jax.process_count() > 1
 
-    def put(b: Batch) -> Batch:
-        if sharding is not None:
-            return jax.tree.map(
-                lambda x: jax.device_put(x, sharding), b
-            )
-        return jax.tree.map(jax.device_put, b)
+    def put_one(x):
+        if sharding is None:
+            return jax.device_put(x)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     for batch in host_batches:
-        buf.append(put(batch))
+        buf.append(jax.tree.map(put_one, batch))
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:

@@ -50,4 +50,7 @@ def make_optimizers(tcfg: TrainConfig):
     d = make_optimizer(
         tcfg.d_opt, tcfg.max_nonfinite_skips, make_schedule(tcfg.d_opt.lr, tcfg)
     )
+    if tcfg.grad_accum > 1:
+        g = optax.MultiSteps(g, every_k_schedule=tcfg.grad_accum).gradient_transformation()
+        d = optax.MultiSteps(d, every_k_schedule=tcfg.grad_accum).gradient_transformation()
     return g, d

@@ -91,6 +91,21 @@ def train(
                 if "on_samples" in hooks:
                     hooks["on_samples"](step_num, imgs)
 
+            if cfg.train.eval_every and step_num % cfg.train.eval_every == 0:
+                from locate_tpu.data.datasets import make_dataset
+                from locate_tpu.io.fid import evaluate_generator
+
+                g_params = state.ema_params if state.ema_params is not None else state.g_params
+                scores = evaluate_generator(
+                    gan, g_params, make_dataset(cfg.data),
+                    n_samples=cfg.train.eval_samples, seed=cfg.train.seed,
+                )
+                logger.log_scalars(
+                    step_num, {"eval_rfid": scores["fid"], "eval_rkid": scores["kid"]}
+                )
+                if "on_eval" in hooks:
+                    hooks["on_eval"](step_num, scores)
+
             if cfg.train.checkpoint_every and (
                 step_num % cfg.train.checkpoint_every == 0 or step_num == total_steps
             ):
