@@ -86,6 +86,13 @@ class ModelConfig:
     # activation HBM — needed at 512^2 (SURVEY.md §8 M7).
     remat: bool = False
 
+    def __post_init__(self):
+        r = self.resolution
+        if r < 8 or (r & (r - 1)) != 0:
+            raise ValueError(
+                f"resolution must be a power of two >= 8, got {r}"
+            )
+
     @property
     def num_stages(self) -> int:
         """Stages from the 4x4 seed up to `resolution` (inclusive count)."""
@@ -107,11 +114,17 @@ class ModelConfig:
         return tuple(chans)
 
     def attention_at(self, resolution: int) -> bool:
-        if self.attention_stages == "all":
-            return True
-        if not self.attention_stages:
+        stages = self.attention_stages
+        if isinstance(stages, str):
+            if stages == "all":
+                return True
+            if stages in ("none", ""):
+                return False
+            # CLI form: comma-separated stage resolutions, e.g. "8,16,32"
+            stages = tuple(int(s) for s in stages.split(",") if s)
+        if not stages:
             return False
-        return resolution in tuple(self.attention_stages)
+        return resolution in tuple(stages)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +167,13 @@ class TrainConfig:
     # shared forwards -> ~1.3-1.5x step speedup; slightly different
     # training dynamics, so off by default (reference parity).
     fused_step: bool = False
+    # Reuse the D-step latents for the G-step (z_g = z_d), correlating
+    # D/G noise within a step (a common GAN-training choice). NOT a
+    # speedup in practice: XLA CSE merges the two G forwards but must
+    # then keep the merged activations live into the G backward, which
+    # measured ~18% SLOWER at 128^2/batch-128 than recomputing. Off by
+    # default (reference parity + speed).
+    share_latents: bool = False
     # Optional LR schedule applied to both optimizers:
     # "constant" | "cosine" | "linear_warmup_cosine".
     lr_schedule: str = "constant"

@@ -45,6 +45,7 @@ class BatchProducer:
         seed: int = 0,
         prefetch: int = 2,
         drop_remainder: bool = True,
+        skip_examples: int = 0,
     ):
         if batch_size <= 0:
             raise ValueError("batch_size must be positive")
@@ -54,6 +55,10 @@ class BatchProducer:
         self.shard_count = shard_count
         self.random_flip = random_flip
         self.seed = seed
+        # Deterministic resume: the index stream is seeded per epoch, so
+        # skipping N examples replays exactly the post-checkpoint stream
+        # without decoding the skipped ones (SURVEY.md §6 checkpoint/resume).
+        self.skip_examples = skip_examples
         self._queue: "queue.Queue[Batch]" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -62,14 +67,26 @@ class BatchProducer:
     def _index_stream(self):
         epoch = 0
         n = len(self.dataset)
+        to_skip = self.skip_examples
         while not self._stop.is_set():
             rng = np.random.Generator(
                 np.random.Philox(key=self.seed, counter=epoch)
             )
             perm = rng.permutation(n)
             shard = perm[self.shard_index :: self.shard_count]
-            for idx in shard:
+            if to_skip >= len(shard):
+                to_skip -= len(shard)
+                epoch += 1
+                continue
+            for pos, idx in enumerate(shard):
+                if pos < to_skip:
+                    # keep the per-example rng stream aligned with the
+                    # un-skipped run (flip decision consumes one draw)
+                    if self.random_flip:
+                        rng.random()
+                    continue
                 yield int(idx), rng
+            to_skip = 0
             epoch += 1
 
     def _run(self):
@@ -182,8 +199,10 @@ def make_input_pipeline(
     seed: int = 0,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    skip_batches: int = 0,
 ) -> Iterator[Batch]:
-    """Dataset -> producer thread -> device prefetch, per-host sharded."""
+    """Dataset -> producer thread -> device prefetch, per-host sharded.
+    `skip_batches` deterministically fast-forwards the stream for resume."""
     from locate_tpu.data.datasets import make_dataset
 
     pi = jax.process_index() if process_index is None else process_index
@@ -191,13 +210,15 @@ def make_input_pipeline(
     if global_batch % pc:
         raise ValueError(f"global_batch {global_batch} not divisible by {pc} hosts")
     dataset = make_dataset(data_cfg)
+    per_host = global_batch // pc
     producer = BatchProducer(
         dataset,
-        global_batch // pc,
+        per_host,
         shard_index=pi,
         shard_count=pc,
         random_flip=data_cfg.random_flip,
         seed=seed,
         prefetch=data_cfg.prefetch,
+        skip_examples=skip_batches * per_host,
     )
     return device_prefetch(iter(producer), sharding, depth=data_cfg.prefetch)

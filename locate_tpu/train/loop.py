@@ -56,6 +56,7 @@ def train(
         batches = make_input_pipeline(
             cfg.data, cfg.train.global_batch,
             sharding=batch_shard, seed=cfg.train.seed,
+            skip_batches=int(state.step),  # resume replays the exact stream
         )
 
         timer = StepTimer(cfg.train.global_batch)

@@ -137,6 +137,10 @@ def make_train_step(
         real, labels, rng, new_rng = prepare(state, batch)
         n = real.shape[0]
         _, k_zd, k_zg, k_ld, k_lg = jax.random.split(rng, 5)
+        if tcfg.share_latents:
+            # z_g == z_d: the G-step forward becomes identical HLO to the
+            # D-step fake forward and XLA CSE computes it once.
+            k_zg, k_lg = k_zd, k_ld
 
         z_d = gan.sample_latents(k_zd, n)
         fake_labels_d = gan.sample_labels(k_ld, n)
