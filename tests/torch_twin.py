@@ -1,0 +1,170 @@
+"""A pure-PyTorch functional twin of the locate-tpu model family.
+
+Test fixture ONLY (SURVEY.md §5 item 1): consumes OUR params pytree and
+ModelConfig and recomputes the generator/discriminator forward with torch
+ops, so end-to-end outputs/losses/grads can be diffed against the JAX
+implementation. Written from this repo's spec — the upstream reference
+mount was empty (SURVEY.md §0); this twin doubles as the "PyTorch
+reference" stand-in for parity checks until real hardware/FID weights are
+available (BASELINE.md "Open items")."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from locate_tpu.config import ModelConfig
+from locate_tpu.ops.attention import _coord_features_np
+
+SQRT_HALF = 0.7071067811865476
+
+
+def t(x) -> torch.Tensor:
+    arr = np.asarray(x, np.float32)
+    return torch.from_numpy(arr.copy())
+
+
+def conv_nhwc(x, w_hwio, b=None, same=True):
+    """lax.conv_general_dilated(NHWC, HWIO, SAME) in torch."""
+    xt = x.permute(0, 3, 1, 2)
+    wt = w_hwio.permute(3, 2, 0, 1)
+    if same:
+        kh, kw = w_hwio.shape[0], w_hwio.shape[1]
+        ph, pw = kh - 1, kw - 1
+        xt = F.pad(xt, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+    y = F.conv2d(xt, wt, b)
+    return y.permute(0, 2, 3, 1)
+
+
+def apply_conv(params, x, same=True):
+    return conv_nhwc(x, params["w"], params.get("b"))
+
+
+def apply_factorized(params, x):
+    return apply_conv(params["col"], apply_conv(params["row"], x))
+
+
+def group_norm(params, x, groups):
+    c = x.shape[-1]
+    g = min(groups, c)
+    while c % g:
+        g -= 1
+    xt = x.permute(0, 3, 1, 2)
+    y = F.group_norm(xt, g, params["scale"], params["bias"], eps=1e-5)
+    return y.permute(0, 2, 3, 1)
+
+
+def act(x, cfg: ModelConfig):
+    assert cfg.act == "leaky_relu", "twin implements the default activation"
+    return F.leaky_relu(x, cfg.leaky_slope)
+
+
+def conv_block(params, x, cfg: ModelConfig):
+    h = group_norm(params["main"][0], x, cfg.group_norm_groups)
+    h = act(h, cfg)
+    h = apply_factorized(params["main"][2], h) if cfg.factorized else apply_conv(
+        params["main"][2], h
+    )
+    s = apply_conv(params["skip"], x) if "skip" in params else x
+    return (h + s) * SQRT_HALF
+
+
+def attention(params, x, cfg: ModelConfig):
+    acfg = cfg.attention
+    n, hh, ww, c = x.shape
+    feats = x
+    if acfg.pos_features:
+        pos = t(_coord_features_np(hh, ww, acfg.pos_features))
+        feats = torch.cat([feats, pos.expand(n, hh, ww, acfg.pos_features)], dim=-1)
+    hdn = act(apply_conv(params["to_hidden"], feats), cfg)
+    logits = apply_conv(params["to_logits"], hdn)
+    if acfg.mode == "softmax":
+        flat = logits.reshape(n, hh * ww, logits.shape[-1])
+        gate = F.softmax(flat, dim=1).reshape(logits.shape)
+        if acfg.residual:
+            gate = gate * (hh * ww)
+    else:
+        gate = torch.sigmoid(logits)
+        if acfg.residual:
+            gate = gate * 2.0
+    return x * gate
+
+
+def upsample(x):
+    xt = x.permute(0, 3, 1, 2)
+    return F.interpolate(xt, scale_factor=2, mode="nearest").permute(0, 2, 3, 1)
+
+
+def downsample(x):
+    return F.avg_pool2d(x.permute(0, 3, 1, 2), 2).permute(0, 2, 3, 1)
+
+
+def _stage_layers(cfg, resolution):
+    """Mirror of nn.blocks stage layer ordering."""
+    return cfg.attention_at(resolution)
+
+
+def generator_forward(params, cfg: ModelConfig, z, labels=None):
+    chans = cfg.stage_channels()
+    resolutions = cfg.stage_resolutions()
+    if cfg.num_classes:
+        emb = params["class_embed"][labels]
+        z = torch.cat([z, emb], dim=-1)
+    x = z @ params["seed"]["w"] + params["seed"]["b"]
+    x = x.reshape(z.shape[0], 4, 4, chans[0])
+    for i, p_stage in enumerate(params["trunk"]):
+        li = 0
+        if i > 0:
+            x = upsample(x)
+            li += 1  # upsample layer holds () params
+        for _ in range(cfg.blocks_per_stage):
+            x = conv_block(p_stage[li], x, cfg)
+            li += 1
+        if cfg.attention_at(resolutions[i]):
+            x = attention(p_stage[li], x, cfg)
+    x = group_norm(params["head"][0], x, cfg.group_norm_groups)
+    x = act(x, cfg)
+    x = torch.tanh(apply_conv(params["head"][2], x))
+    return x
+
+
+def discriminator_forward(params, cfg: ModelConfig, x, labels=None):
+    chans = cfg.stage_channels()
+    resolutions = cfg.stage_resolutions()
+    n_stages = len(chans)
+    h = apply_conv(params["stem"], x)
+    for si, p_stage in enumerate(params["trunk"]):
+        i = n_stages - 1 - si  # stages run high-res -> low-res
+        li = 0
+        for _ in range(cfg.blocks_per_stage):
+            h = conv_block(p_stage[li], h, cfg)
+            li += 1
+        if cfg.attention_at(resolutions[i]):
+            h = attention(p_stage[li], h, cfg)
+            li += 1
+        if i != 0:
+            h = downsample(h)
+    h = group_norm(params["neck"][0], h, cfg.group_norm_groups)
+    h = act(h, cfg)
+    feats = h.mean(dim=(1, 2))
+    logit = (feats @ params["head"]["w"] + params["head"]["b"])[:, 0]
+    if cfg.num_classes:
+        proj = params["class_proj"][labels]
+        logit = logit + (proj * feats).sum(dim=-1)
+    return logit
+
+
+def to_torch_params(tree):
+    """Our params pytree -> torch tensors (requires_grad on leaves)."""
+    if isinstance(tree, dict):
+        return {k: to_torch_params(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [to_torch_params(v) for v in tree]
+    if tree is None:
+        return tree
+    out = t(tree)
+    out.requires_grad_(True)
+    return out
