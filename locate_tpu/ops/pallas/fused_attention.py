@@ -31,10 +31,22 @@ W1) is precomputed in XLA: it is batch-independent and constant-folds, and
 keeping it out of the kernel avoids a (T, P) block with a tiny
 non-128-aligned lane dimension.
 
-Backward: custom_vjp that recomputes via the pure-XLA composition
-(`locate_attention_xla_core`) — mathematically exact, keeps the fused
-forward in the hot sampling/D-fwd path; a hand-written Pallas backward is a
-later optimization.
+Backward: hand-written Pallas kernels (default for leaky_relu/relu) that
+recompute the gate MLP per tile (flash-style — the MLP matmuls are far
+cheaper than materializing u/h/l/g in HBM) and accumulate the weight
+gradients directly in revisited output blocks across the sequential grid:
+
+  * sigmoid mode: ONE pass, grid (S, N) with batch innermost so the
+    dpos_proj block (indexed by the spatial tile only) accumulates over
+    consecutive batch steps and flushes on tile change; dW/db blocks have
+    constant index maps so they live in VMEM for the whole grid.
+  * softmax mode: pass A re-reduces c = sum_s g*(x*dy) per (batch,
+    channel) using the forward's saved (max, sum-exp) stats; pass B
+    applies the softmax jacobian dl = g*dg - (g/HW)*c and the shared MLP
+    backward.
+
+For other activations the backward falls back to jax.vjp of the XLA
+composition (exact, just less fused).
 
 The XLA composition is both the fallback and the test oracle
 (SURVEY.md §5 item 2).
@@ -165,8 +177,11 @@ def _pick_tile(hw: int) -> int:
     return hw
 
 
-def _pallas_forward(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act, leaky_slope,
-                    hw_scale, interpret):
+def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
+                               leaky_slope, hw_scale, interpret):
+    """Returns (y, m, se): softmax mode also returns its running max /
+    sum-exp stats (saved as residuals so the backward reuses them);
+    sigmoid mode returns (y, None, None)."""
     n, hw, c = x2d.shape
     hd = w1x.shape[1]
     cout = w2.shape[1]
@@ -195,7 +210,7 @@ def _pallas_forward(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act, leaky_slope,
     w_specs = [full(w1c.shape), full((1, hd)), full(w2c.shape), full((1, cout))]
 
     if mode == "sigmoid":
-        return pl.pallas_call(
+        y = pl.pallas_call(
             kern(_sigmoid_kernel, act=act, leaky_slope=leaky_slope),
             grid=(n, s),
             in_specs=[x_spec, pp_spec] + w_specs,
@@ -203,6 +218,7 @@ def _pallas_forward(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act, leaky_slope,
             out_shape=jax.ShapeDtypeStruct((n, hw, c), cd),
             interpret=interpret,
         )(x2d, ppf, w1c, b1r, w2c, b2r)
+        return y, None, None
 
     if mode != "softmax":
         raise ValueError(f"unknown attention mode {mode!r}")
@@ -228,7 +244,7 @@ def _pallas_forward(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act, leaky_slope,
         interpret=interpret,
     )(x2d, ppf, w1c, b1r, w2c, b2r)
 
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kern(_softmax_apply_kernel, act=act, leaky_slope=leaky_slope,
              hw_scale=hw_scale),
         grid=(n, s),
@@ -237,33 +253,256 @@ def _pallas_forward(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act, leaky_slope,
         out_shape=jax.ShapeDtypeStruct((n, hw, c), cd),
         interpret=interpret,
     )(x2d, ppf, w1c, b1r, w2c, b2r, m, se)
+    return y, m, se
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _act_grad(kind: str, slope: float):
+    if kind == "leaky_relu":
+        return lambda u: jnp.where(u >= 0, 1.0, slope)
+    if kind == "relu":
+        return lambda u: jnp.where(u >= 0, 1.0, 0.0)
+    raise ValueError(kind)
+
+
+_PALLAS_BWD_ACTS = ("leaky_relu", "relu")
+
+
+def _softmax_csum_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref, m_ref, s_ref, c_ref, c_acc,
+                         *, act, leaky_slope, hw_scale):
+    """Pass A: c[n, cout] = sum_s g * (x * dy), accumulated over a batch
+    row's spatial tiles (grid (N, S), S innermost)."""
+    sidx = pl.program_id(1)
+    l = _gate_logits(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref, act, leaky_slope)
+    g = jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale
+    dg = x_ref[0].astype(jnp.float32) * dy_ref[0].astype(jnp.float32)
+    part = jnp.sum(g * dg, axis=0, keepdims=True)
+
+    @pl.when(sidx == 0)
+    def _():
+        c_acc[:] = part
+
+    @pl.when(sidx > 0)
+    def _():
+        c_acc[:] = c_acc[:] + part
+
+    @pl.when(sidx == pl.num_programs(1) - 1)
+    def _():
+        c_ref[0] = c_acc[:]
+
+
+def _bwd_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                m_ref, s_ref, c_ref,
+                dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                *, mode, act, leaky_slope, hw_scale):
+    """Pass B (grid (S, N), batch innermost): recompute the gate MLP for
+    one tile, apply the gate jacobian, and backprop the per-location MLP.
+    Weight grads accumulate in-place in their (revisited) output blocks;
+    dpos_proj accumulates over the batch steps of its spatial tile."""
+    i = pl.program_id(0)  # spatial tile
+    j = pl.program_id(1)  # batch element
+    ns = pl.num_programs(0)
+    nb = pl.num_programs(1)
+
+    xb = x_ref[0]                                    # (T, C) cd
+    cd = xb.dtype
+    xf = xb.astype(jnp.float32)
+    dyf = dy_ref[0].astype(jnp.float32)
+
+    # recompute forward for this tile
+    u = jnp.dot(xb, w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + pp_ref[:] + b1_ref[:]
+    h = _act(act, leaky_slope)(u).astype(cd)
+    l = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    l = l + b2_ref[:]
+
+    dg = xf * dyf
+    if mode == "sigmoid":
+        p = jax.nn.sigmoid(l)
+        g = 2.0 * p
+        dl = 2.0 * p * (1.0 - p) * dg
+    else:
+        g = jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale
+        dl = g * dg - (g / hw_scale) * c_ref[0]
+
+    dlc = dl.astype(cd)
+    # dh = dl @ W2^T ; du = act'(u) * dh ; dx = g*dy + du @ W1^T
+    dh = jax.lax.dot_general(
+        dlc, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    du = _act_grad(act, leaky_slope)(u) * dh
+    duc = du.astype(cd)
+    dx_gate = jax.lax.dot_general(
+        duc, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[0] = (g * dyf + dx_gate).astype(dx_ref.dtype)
+
+    # ---- accumulated gradients ----
+    dw1_part = jax.lax.dot_general(      # x^T @ du : (C, Hd)
+        xb, duc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2_part = jax.lax.dot_general(      # h^T @ dl : (Hd, Cout)
+        h, dlc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_part = jnp.sum(du, axis=0, keepdims=True)
+    db2_part = jnp.sum(dl, axis=0, keepdims=True)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dw1_ref[:] += dw1_part
+    db1_ref[:] += db1_part
+    dw2_ref[:] += dw2_part
+    db2_ref[:] += db2_part
+
+    # dpos_proj block is per-spatial-tile: init at this tile's first batch
+    # step, accumulate across the (consecutive) batch steps
+    @pl.when(j == 0)
+    def _():
+        dpp_ref[:] = jnp.zeros_like(dpp_ref)
+
+    dpp_ref[:] += du
+
+
+def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
+                     mode, act, leaky_slope, hw_scale, interpret):
+    n, hw, c = x2d.shape
+    hd = w1x.shape[1]
+    cout = w2.shape[1]
+    t = _pick_tile(hw)
+    s = hw // t
+    cd = x2d.dtype
+
+    w1c = w1x.astype(cd)
+    w2c = w2.astype(cd)
+    b1r = b1.reshape(1, hd).astype(jnp.float32)
+    b2r = b2.reshape(1, cout).astype(jnp.float32)
+    ppf = pos_proj.astype(jnp.float32)
+    kern = functools.partial
+
+    def full(shape):
+        ndim = len(shape)
+        return pl.BlockSpec(
+            shape, lambda i, j, _n=ndim: (0,) * _n, memory_space=pltpu.VMEM
+        )
+
+    w_specs = [full(w1c.shape), full((1, hd)), full(w2c.shape), full((1, cout))]
+    stat_spec = pl.BlockSpec(
+        (1, 1, cout), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    if mode == "softmax":
+        # pass A: grid (N, S) — csum per batch row
+        xa_spec = pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+        ppa_spec = pl.BlockSpec((t, hd), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        stata_spec = pl.BlockSpec(
+            (1, 1, cout), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        csum = pl.pallas_call(
+            kern(_softmax_csum_kernel, act=act, leaky_slope=leaky_slope,
+                 hw_scale=hw_scale),
+            grid=(n, s),
+            in_specs=[xa_spec, xa_spec, ppa_spec] + w_specs + [stata_spec, stata_spec],
+            out_specs=stata_spec,
+            out_shape=jax.ShapeDtypeStruct((n, 1, cout), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, cout), jnp.float32)],
+            interpret=interpret,
+        )(x2d, dy2d, ppf, w1c, b1r, w2c, b2r, m, se)
+    else:
+        csum = jnp.zeros((n, 1, cout), jnp.float32)
+        m = jnp.zeros((n, 1, cout), jnp.float32)
+        se = jnp.ones((n, 1, cout), jnp.float32)
+
+    # pass B: grid (S, N) — batch innermost for dpos_proj accumulation
+    xb_spec = pl.BlockSpec((1, t, c), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
+    ppb_spec = pl.BlockSpec((t, hd), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kern(_bwd_kernel, mode=mode, act=act, leaky_slope=leaky_slope,
+             hw_scale=hw_scale),
+        grid=(s, n),
+        in_specs=[xb_spec, xb_spec, ppb_spec] + w_specs
+        + [stat_spec, stat_spec, stat_spec],
+        out_specs=(
+            xb_spec,                               # dx
+            ppb_spec,                              # dpos_proj
+            full(w1c.shape),                       # dw1
+            full((1, hd)),                         # db1
+            full(w2c.shape),                       # dw2
+            full((1, cout)),                       # db2
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, hw, c), cd),
+            jax.ShapeDtypeStruct((hw, hd), jnp.float32),
+            jax.ShapeDtypeStruct(w1x.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, hd), jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, cout), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x2d, dy2d, ppf, w1c, b1r, w2c, b2r, m, se, csum)
+
+    dx, dpp, dw1, db1, dw2, db2 = outs
+    return (
+        dx,
+        dpp.astype(pos_proj.dtype),
+        dw1.astype(w1x.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+    )
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_core(mode: str, act: str, leaky_slope: float, hw_scale: float,
                      interpret: bool):
-    """Per-config custom_vjp op: fused Pallas forward, XLA-recompute
-    backward (exact: the oracle computes the same function)."""
+    """Per-config custom_vjp op: fused Pallas forward; fused Pallas
+    backward for supported activations, else exact XLA-recompute."""
 
     @jax.custom_vjp
     def core(x2d, pos_proj, w1x, b1, w2, b2):
-        return _pallas_forward(
+        y, _, _ = _pallas_forward_with_stats(
             x2d, pos_proj, w1x, b1, w2, b2,
             mode=mode, act=act, leaky_slope=leaky_slope,
             hw_scale=hw_scale, interpret=interpret,
         )
+        return y
 
     def fwd(x2d, pos_proj, w1x, b1, w2, b2):
-        y = core(x2d, pos_proj, w1x, b1, w2, b2)
-        return y, (x2d, pos_proj, w1x, b1, w2, b2)
+        y, m, se = _pallas_forward_with_stats(
+            x2d, pos_proj, w1x, b1, w2, b2,
+            mode=mode, act=act, leaky_slope=leaky_slope,
+            hw_scale=hw_scale, interpret=interpret,
+        )
+        return y, (x2d, pos_proj, w1x, b1, w2, b2, m, se)
 
     def bwd(residuals, gy):
+        x2d, pos_proj, w1x, b1, w2, b2, m, se = residuals
+        if act in _PALLAS_BWD_ACTS:
+            return _pallas_backward(
+                x2d, gy, pos_proj, w1x, b1, w2, b2, m, se,
+                mode=mode, act=act, leaky_slope=leaky_slope,
+                hw_scale=hw_scale, interpret=interpret,
+            )
         _, vjp = jax.vjp(
             lambda *args: locate_attention_xla_core(
                 *args, mode=mode, act=act, leaky_slope=leaky_slope,
                 hw_scale=hw_scale,
             ),
-            *residuals,
+            x2d, pos_proj, w1x, b1, w2, b2,
         )
         return vjp(gy)
 
