@@ -75,6 +75,56 @@ def place_train_state(state: TrainState, shardings: Any) -> TrainState:
     return jax.tree.map(jax.device_put, state, shardings)
 
 
+def make_shardmap_train_step(
+    cfg: Config, gan: GAN, mesh: Mesh
+) -> Tuple[Any, Any, NamedSharding]:
+    """Explicit-collective DP variant (SURVEY.md §3.3): the per-replica
+    train step runs under `shard_map` over the `data` axis with psum/pmean
+    gradient and metric reduction written out in the step itself
+    (axis_name path), instead of GSPMD-inferred collectives.
+
+    Same return contract as `make_sharded_train_step`. Data-parallel only:
+    params are fully replicated over the mesh (the `model` axis must be 1).
+    Useful when collective placement must be explicit/auditable; the GSPMD
+    path remains the default.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    pcfg = cfg.parallel
+    if mesh.shape[pcfg.model_axis] != 1:
+        raise ValueError("shard_map step is DP-only (model_parallel must be 1)")
+    step_fn = make_train_step(cfg, gan, axis_name=pcfg.data_axis)
+    b_sharding = batch_sharding(mesh, pcfg.data_axis)
+    rep = replicated(mesh)
+
+    def shardings_for(state: TrainState) -> Any:
+        # pure DP: everything replicated
+        return jax.tree.map(lambda _: rep, state)
+
+    batch_spec = P(pcfg.data_axis)
+
+    def jit_step(state: TrainState):
+        s_shardings = shardings_for(state)
+        state_specs = jax.tree.map(lambda _: P(), state)
+        mapped = shard_map(
+            step_fn,
+            mesh=mesh,
+            in_specs=(state_specs, {"image": batch_spec, "label": batch_spec}),
+            out_specs=(state_specs, P()),  # metrics pmean'd -> replicated
+            check_rep=False,
+        )
+
+        return jax.jit(
+            mapped,
+            in_shardings=(s_shardings, {"image": b_sharding, "label": b_sharding}),
+            out_shardings=(s_shardings, rep),
+            donate_argnums=(0,),
+        )
+
+    return jit_step, shardings_for, b_sharding
+
+
 def make_sharded_train_step(
     cfg: Config, gan: GAN, mesh: Mesh
 ) -> Tuple[Any, Any, NamedSharding]:

@@ -104,6 +104,70 @@ def test_tensor_parallel_step_runs(tiny_config):
     np.testing.assert_allclose(hist1[1]["d_loss"], hist[1]["d_loss"], rtol=5e-2)
 
 
+def test_shardmap_step_matches_gspmd(tiny_config):
+    """Explicit shard_map+psum DP step vs GSPMD-inferred DP step: the two
+    communication-backend realizations sample different (equally valid)
+    latent streams (per-replica folded keys vs one global key), so exact
+    equality is only required where the streams don't enter:
+    step-1 real-data statistics. Loss-level metrics must agree loosely,
+    and the shard_map path must be deterministic and keep params
+    replicated."""
+    from locate_tpu.parallel.sharding import make_shardmap_train_step
+
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    mesh = make_mesh(cfg.parallel)
+
+    def run(maker):
+        with mesh:
+            state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+            jit_for, sh_for, b_shard = maker(cfg, gan, mesh)
+            state = place_train_state(state, sh_for(state))
+            step = jit_for(state)
+            batch = jax.device_put(
+                make_batch(cfg, jax.random.PRNGKey(1)),
+                {"image": b_shard, "label": b_shard},
+            )
+            hist = []
+            for _ in range(2):
+                state, metrics = step(state, batch)
+                hist.append({k: float(v) for k, v in metrics.items()})
+            return state, hist
+
+    _, gspmd = run(make_sharded_train_step)
+    state_sm, sm = run(make_shardmap_train_step)
+    # identical real batch + identical initial D => identical real logits
+    np.testing.assert_allclose(
+        gspmd[0]["real_logits"], sm[0]["real_logits"], rtol=1e-4, atol=1e-5
+    )
+    # losses agree to latent-sampling noise
+    for k in ("d_loss", "g_loss"):
+        np.testing.assert_allclose(gspmd[0][k], sm[0][k], rtol=0.05, err_msg=k)
+    assert all(np.isfinite(list(h.values())).all() for h in sm)
+    # params stay replicated across all 8 devices
+    leaf = jax.tree.leaves(state_sm.g_params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # the shard_map path itself is deterministic
+    _, sm2 = run(make_shardmap_train_step)
+    for a, b in zip(sm, sm2):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_shardmap_rejects_model_parallel(tiny_config):
+    from locate_tpu.parallel.sharding import make_shardmap_train_step
+
+    cfg = dataclasses.replace(
+        tiny_config, parallel=ParallelConfig(data_parallel=4, model_parallel=2)
+    )
+    gan = build_gan(cfg)
+    mesh = make_mesh(cfg.parallel)
+    with pytest.raises(ValueError, match="DP-only"):
+        make_shardmap_train_step(cfg, gan, mesh)
+
+
 def test_param_sharding_rule():
     mesh = make_mesh(ParallelConfig(data_parallel=4, model_parallel=2))
     params = {
