@@ -219,6 +219,10 @@ class ParallelConfig:
     # -1 = all available devices on the data axis.
     data_parallel: int = -1
     model_parallel: int = 1
+    # Collective realization: "gspmd" (global program, XLA-inferred
+    # collectives — default) or "shard_map" (explicit per-replica psum;
+    # DP-only).
+    backend: str = "gspmd"
 
 
 @dataclasses.dataclass(frozen=True)

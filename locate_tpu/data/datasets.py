@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import pickle
 import tarfile
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -51,27 +51,66 @@ class SyntheticImages:
     def __len__(self) -> int:
         return self.length
 
-    def example(self, index: int, rng: Optional[np.random.Generator] = None) -> Example:
-        rs = np.random.Generator(np.random.Philox(key=self.seed, counter=index))
-        label = int(index % self.num_classes) if self.num_classes else 0
+    def _render(self, indices: np.ndarray) -> np.ndarray:
+        """Vectorized renderer for a batch of example indices."""
+        n = len(indices)
         r = self.resolution
-        img = np.zeros((r, r, self.channels), np.float32)
-        # background gradient
-        angle = rs.uniform(0, 2 * np.pi)
-        grad = np.cos(angle) * self._xs + np.sin(angle) * self._ys
-        base = rs.uniform(0.2, 0.8, size=(self.channels,)).astype(np.float32)
-        img += base + 0.3 * grad[..., None]
-        # gaussian blobs; palette keyed by label
-        for _ in range(3):
-            cy, cx = rs.uniform(0.2, 0.8, size=2)
-            sig = rs.uniform(0.05, 0.25)
-            blob = np.exp(-(((self._ys - cy) ** 2 + (self._xs - cx) ** 2) / (2 * sig**2)))
-            color = rs.uniform(-0.7, 0.7, size=(self.channels,)).astype(np.float32)
+        c = self.channels
+        # one Philox draw block per example, deterministic in the index
+        draws = np.stack(
+            [
+                np.random.Generator(
+                    np.random.Philox(key=self.seed, counter=int(i))
+                ).uniform(size=1 + c + 3 * (3 + c))
+                for i in indices
+            ]
+        )  # 1 angle + c base + 3 blobs x (2 center + 1 sigma + c color)
+        labels = (
+            np.asarray(indices) % self.num_classes if self.num_classes else np.zeros(n)
+        ).astype(np.int64)
+        angle = draws[:, 0] * 2 * np.pi
+        base = 0.2 + 0.6 * draws[:, 1 : 1 + c]  # (n, c)
+        grad = (
+            np.cos(angle)[:, None, None] * self._xs + np.sin(angle)[:, None, None] * self._ys
+        )  # (n, r, r)
+        img = base[:, None, None, :] + 0.3 * grad[..., None]
+        off = 1 + c
+        for k in range(3):
+            blk = draws[:, off + k * (3 + c) : off + (k + 1) * (3 + c)]
+            cy = 0.2 + 0.6 * blk[:, 0]
+            cx = 0.2 + 0.6 * blk[:, 1]
+            sig = 0.05 + 0.2 * blk[:, 2]
+            color = -0.7 + 1.4 * blk[:, 3 : 3 + c]  # (n, c)
             if self.num_classes:
-                color = np.roll(color, label)
-            img += blob[..., None] * color
+                rows = np.arange(c)[None, :]
+                color = color[np.arange(n)[:, None], (rows - labels[:, None]) % c]
+            blob = np.exp(
+                -(
+                    (self._ys[None] - cy[:, None, None]) ** 2
+                    + (self._xs[None] - cx[:, None, None]) ** 2
+                )
+                / (2 * sig[:, None, None] ** 2)
+            )
+            img = img + blob[..., None] * color[:, None, None, :]
         img = np.clip(img, 0.0, 1.0)
-        return (img * 255.0).astype(np.uint8), label
+        return (img * 255.0).astype(np.uint8)
+
+    def example(self, index: int, rng: Optional[np.random.Generator] = None) -> Example:
+        img = self._render(np.asarray([index]))[0]
+        label = int(index % self.num_classes) if self.num_classes else 0
+        return img, label
+
+    def batch_fast(self, indices, flips):
+        imgs = self._render(np.asarray(indices))
+        flips = np.asarray(flips, bool)
+        if flips.any():
+            imgs[flips] = imgs[flips, :, ::-1]
+        labels = (
+            np.asarray(indices, np.int64) % self.num_classes
+            if self.num_classes
+            else np.zeros(len(indices))
+        ).astype(np.int32)
+        return imgs, labels
 
 
 class Cifar10:
@@ -117,6 +156,14 @@ class Cifar10:
 
     def example(self, index: int, rng=None) -> Example:
         return self.images[index], int(self.labels[index])
+
+    def batch_fast(self, indices, flips):
+        idx = np.asarray(indices)
+        imgs = self.images[idx].copy()
+        flips = np.asarray(flips, bool)
+        if flips.any():
+            imgs[flips] = imgs[flips, :, ::-1]
+        return imgs, self.labels[idx].astype(np.int32)
 
 
 class ImageFolder:

@@ -22,7 +22,6 @@ estimator.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import numpy as np

@@ -19,7 +19,7 @@ pytree (params, EMA shadow, and Adam mu/nu get identical layouts):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import numpy as np

@@ -9,8 +9,6 @@ from typing import Any
 import flax.struct
 import jax
 import jax.numpy as jnp
-import optax
-
 from locate_tpu.config import Config
 from locate_tpu.models.gan import GAN
 from locate_tpu.objectives.ema import ema_init
