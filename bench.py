@@ -30,7 +30,7 @@ def main() -> None:
     from locate_tpu.config import get_config
     from locate_tpu.models.gan import build_gan
     from locate_tpu.parallel.mesh import single_device_mesh
-    from locate_tpu.parallel.sharding import make_sharded_train_step, place_train_state
+    from locate_tpu.parallel.sharding import make_step_for, place_train_state
     from locate_tpu.train.state import create_train_state
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
@@ -54,7 +54,7 @@ def main() -> None:
 
     with mesh:
         state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
-        jit_step_for, shardings_for, b_shard = make_sharded_train_step(cfg, gan, mesh)
+        jit_step_for, shardings_for, b_shard = make_step_for(cfg, gan, mesh)
         state = place_train_state(state, shardings_for(state))
         step = jit_step_for(state)
 

@@ -51,8 +51,10 @@ class SyntheticImages:
     def __len__(self) -> int:
         return self.length
 
-    def _render(self, indices: np.ndarray) -> np.ndarray:
-        """Vectorized renderer for a batch of example indices."""
+    def _render(self, indices: np.ndarray):
+        """Vectorized renderer: (images_u8, labels_i32) for a batch of
+        example indices. float32 throughout (matches the original
+        per-example renderer's accumulation dtype exactly)."""
         n = len(indices)
         r = self.resolution
         c = self.channels
@@ -64,11 +66,11 @@ class SyntheticImages:
                 ).uniform(size=1 + c + 3 * (3 + c))
                 for i in indices
             ]
-        )  # 1 angle + c base + 3 blobs x (2 center + 1 sigma + c color)
+        ).astype(np.float32)  # 1 angle + c base + 3 blobs x (2 ctr + 1 sig + c color)
         labels = (
             np.asarray(indices) % self.num_classes if self.num_classes else np.zeros(n)
-        ).astype(np.int64)
-        angle = draws[:, 0] * 2 * np.pi
+        ).astype(np.int32)
+        angle = draws[:, 0] * np.float32(2 * np.pi)
         base = 0.2 + 0.6 * draws[:, 1 : 1 + c]  # (n, c)
         grad = (
             np.cos(angle)[:, None, None] * self._xs + np.sin(angle)[:, None, None] * self._ys
@@ -92,24 +94,18 @@ class SyntheticImages:
                 / (2 * sig[:, None, None] ** 2)
             )
             img = img + blob[..., None] * color[:, None, None, :]
-        img = np.clip(img, 0.0, 1.0)
-        return (img * 255.0).astype(np.uint8)
+        img = np.clip(img, np.float32(0.0), np.float32(1.0))
+        return (img * np.float32(255.0)).astype(np.uint8), labels
 
     def example(self, index: int, rng: Optional[np.random.Generator] = None) -> Example:
-        img = self._render(np.asarray([index]))[0]
-        label = int(index % self.num_classes) if self.num_classes else 0
-        return img, label
+        imgs, labels = self._render(np.asarray([index]))
+        return imgs[0], int(labels[0])
 
     def batch_fast(self, indices, flips):
-        imgs = self._render(np.asarray(indices))
+        imgs, labels = self._render(np.asarray(indices))
         flips = np.asarray(flips, bool)
         if flips.any():
             imgs[flips] = imgs[flips, :, ::-1]
-        labels = (
-            np.asarray(indices, np.int64) % self.num_classes
-            if self.num_classes
-            else np.zeros(len(indices))
-        ).astype(np.int32)
         return imgs, labels
 
 
@@ -159,7 +155,7 @@ class Cifar10:
 
     def batch_fast(self, indices, flips):
         idx = np.asarray(indices)
-        imgs = self.images[idx].copy()
+        imgs = self.images[idx]  # fancy indexing already copies
         flips = np.asarray(flips, bool)
         if flips.any():
             imgs[flips] = imgs[flips, :, ::-1]

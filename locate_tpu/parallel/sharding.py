@@ -75,6 +75,20 @@ def place_train_state(state: TrainState, shardings: Any) -> TrainState:
     return jax.tree.map(jax.device_put, state, shardings)
 
 
+def make_step_for(cfg: Config, gan: GAN, mesh: Mesh) -> Tuple[Any, Any, NamedSharding]:
+    """Single dispatcher on `cfg.parallel.backend` so every consumer
+    (train loop, bench, dryrun) honors the config and unknown backends
+    fail loudly."""
+    backend = cfg.parallel.backend
+    if backend == "gspmd":
+        return make_sharded_train_step(cfg, gan, mesh)
+    if backend == "shard_map":
+        return make_shardmap_train_step(cfg, gan, mesh)
+    raise ValueError(
+        f"unknown parallel.backend {backend!r}; expected 'gspmd' or 'shard_map'"
+    )
+
+
 def make_shardmap_train_step(
     cfg: Config, gan: GAN, mesh: Mesh
 ) -> Tuple[Any, Any, NamedSharding]:

@@ -16,11 +16,7 @@ from locate_tpu.io.checkpoint import CheckpointManager
 from locate_tpu.io.sampling import generate_samples, save_image_grid
 from locate_tpu.models.gan import build_gan
 from locate_tpu.parallel.mesh import make_mesh
-from locate_tpu.parallel.sharding import (
-    make_sharded_train_step,
-    make_shardmap_train_step,
-    place_train_state,
-)
+from locate_tpu.parallel.sharding import make_step_for, place_train_state
 from locate_tpu.train.state import TrainState, create_train_state
 from locate_tpu.utils.metrics import MetricsLogger
 from locate_tpu.utils.profiling import StepTimer, trace_annotation
@@ -44,12 +40,7 @@ def train(
 
     with mesh:
         state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
-        make_step = (
-            make_shardmap_train_step
-            if cfg.parallel.backend == "shard_map"
-            else make_sharded_train_step
-        )
-        jit_step_for, shardings_for, batch_shard = make_step(cfg, gan, mesh)
+        jit_step_for, shardings_for, batch_shard = make_step_for(cfg, gan, mesh)
         state = place_train_state(state, shardings_for(state))
 
         ckpt = CheckpointManager(

@@ -54,6 +54,19 @@ def make_train_step(
     tcfg = cfg.train
     conditional = gan.config.num_classes > 0
 
+    # R1 is grad-of-grad; the Pallas attention's custom_vjp is first-order
+    # only, so the penalty runs through an XLA-path discriminator twin
+    # (identical params pytree — use_pallas changes apply, not init).
+    d_apply_r1 = gan.discriminator.apply
+    if tcfg.r1_gamma > 0.0 and gan.config.use_pallas:
+        import dataclasses as _dc
+
+        from locate_tpu.models.discriminator import build_discriminator
+
+        d_apply_r1 = build_discriminator(
+            _dc.replace(gan.config, use_pallas=False), gan.compute_dtype
+        ).apply
+
     def pmean(tree):
         if axis_name is None:
             return tree
@@ -71,7 +84,7 @@ def make_train_step(
             # Lazy R1: every r1_interval steps, scaled to keep the expected
             # strength (StyleGAN-style lazy regularization).
             def with_r1(_):
-                pen = r1_penalty(gan.discriminator.apply, d_params, real, labels)
+                pen = r1_penalty(d_apply_r1, d_params, real, labels)
                 return pen * (tcfg.r1_gamma * tcfg.r1_interval)
 
             pen = jax.lax.cond(
