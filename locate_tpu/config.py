@@ -192,6 +192,9 @@ class TrainConfig:
     sample_every: int = 2000
     checkpoint_every: int = 2000
     keep_checkpoints: int = 3
+    # Async orbax saves: the loop keeps stepping while the checkpoint
+    # writes in the background (matters at 512^2 state sizes).
+    async_checkpoint: bool = False
     # In-training quality eval (rFID/rKID vs the training dataset) every N
     # steps; 0 disables (it pauses training for the eval pass).
     eval_every: int = 0

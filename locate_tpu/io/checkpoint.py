@@ -16,20 +16,26 @@ from locate_tpu.train.state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3, async_save: bool = False):
+        """`async_save` uses orbax's async checkpointing: the save copies
+        device buffers then writes in a background thread, so the train
+        loop keeps stepping (matters at 512^2 state sizes)."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self._async = async_save
         self._mgr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=False
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
 
     def save(self, state: TrainState, step: Optional[int] = None) -> None:
         step = int(state.step) if step is None else int(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
+        if not self._async:
+            self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -42,6 +48,9 @@ class CheckpointManager:
             raise FileNotFoundError("no checkpoint to restore")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
 
     def close(self):
         self._mgr.close()

@@ -281,6 +281,9 @@ def _softmax_csum_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref,
     l = _gate_logits(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref, act, leaky_slope)
     g = jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale
     dg = x_ref[0].astype(jnp.float32) * dy_ref[0].astype(jnp.float32)
+    if l.shape[-1] == 1 and dg.shape[-1] != 1:
+        # broadcast gate (per_channel=False): dL/dg sums over channels
+        dg = jnp.sum(dg, axis=-1, keepdims=True)
     part = jnp.sum(g * dg, axis=0, keepdims=True)
 
     @pl.when(sidx == 0)
@@ -322,6 +325,9 @@ def _bwd_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     l = l + b2_ref[:]
 
     dg = xf * dyf
+    if l.shape[-1] == 1 and dg.shape[-1] != 1:
+        # broadcast gate (per_channel=False): dL/dg sums over channels
+        dg = jnp.sum(dg, axis=-1, keepdims=True)
     if mode == "sigmoid":
         p = jax.nn.sigmoid(l)
         g = 2.0 * p

@@ -44,7 +44,9 @@ def train(
         state = place_train_state(state, shardings_for(state))
 
         ckpt = CheckpointManager(
-            os.path.join(cfg.workdir, "checkpoints"), keep=cfg.train.keep_checkpoints
+            os.path.join(cfg.workdir, "checkpoints"),
+            keep=cfg.train.keep_checkpoints,
+            async_save=cfg.train.async_checkpoint,
         )
         if resume and ckpt.latest_step() is not None:
             state = ckpt.restore(state)

@@ -86,6 +86,34 @@ def test_multi_tile_softmax():
 
 
 @pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
+def test_broadcast_gate_cout1(mode):
+    """per_channel=False (gate broadcasts over channels): fwd and grads
+    match the oracle — dL/dg must sum over channels in the backward."""
+    x, pos_proj, w1x, b1, _, _ = make_inputs(n=2, h=8, w=8, c=16, hd=8)
+    w2 = jax.random.normal(jax.random.PRNGKey(7), (8, 1), jnp.float32) * 0.2
+    b2 = jnp.zeros((1,))
+    n, h, w, c = x.shape
+
+    def lf(x, w1x, b1, w2, b2):
+        y = fused_locate_attention(x, pos_proj, w1x, b1, w2, b2, mode=mode, interpret=True)
+        return jnp.sum(jnp.cos(y))
+
+    def lo(x, w1x, b1, w2, b2):
+        y = locate_attention_xla_core(
+            x.reshape(n, h * w, c), pos_proj, w1x, b1, w2, b2,
+            mode=mode, act="leaky_relu", leaky_slope=0.2, hw_scale=float(h * w),
+        )
+        return jnp.sum(jnp.cos(y))
+
+    np.testing.assert_allclose(float(lf(x, w1x, b1, w2, b2)),
+                               float(lo(x, w1x, b1, w2, b2)), rtol=1e-5)
+    gf = jax.grad(lf, argnums=(0, 1, 2, 3))(x, w1x, b1, w2, b2)
+    go = jax.grad(lo, argnums=(0, 1, 2, 3))(x, w1x, b1, w2, b2)
+    for a, b in zip(gf, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
 def test_layer_pallas_matches_layer_xla(mode):
     """Full layer: use_pallas=True (interpret on CPU) == use_pallas=False."""
     cfg = AttentionConfig(mode=mode, per_channel=True, pos_features=4, bottleneck=2)
