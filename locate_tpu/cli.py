@@ -44,11 +44,19 @@ def cmd_train(argv: List[str]) -> int:
 
 
 def cmd_sample(argv: List[str]) -> int:
-    """Generate an image grid from the latest checkpoint's (EMA) generator."""
+    """Generate an image grid from the latest checkpoint's (EMA) generator.
+
+    --truncation=T applies the truncation trick; --interpolate renders a
+    slerp interpolation sheet (--rows/--cols) instead of random samples.
+    """
     import jax
 
     from locate_tpu.io.checkpoint import CheckpointManager
-    from locate_tpu.io.sampling import generate_samples, save_image_grid
+    from locate_tpu.io.sampling import (
+        generate_samples,
+        interpolation_grid,
+        save_image_grid,
+    )
     from locate_tpu.models.gan import build_gan
     from locate_tpu.train.state import create_train_state
 
@@ -61,11 +69,22 @@ def cmd_sample(argv: List[str]) -> int:
     mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
     state = mgr.restore(state)
     g_params = state.ema_params if state.ema_params is not None else state.g_params
-    count = int(flags.get("count", 64))
     seed = int(flags.get("seed", 0))
-    imgs = generate_samples(gan, g_params, jax.random.PRNGKey(seed), count)
+    key = jax.random.PRNGKey(seed)
+    grid_cols = None
+    if flags.get("interpolate"):
+        rows = int(flags.get("rows", 4))
+        grid_cols = int(flags.get("cols", 8))
+        imgs = interpolation_grid(gan, g_params, key, rows, grid_cols)
+        count = rows * grid_cols
+    else:
+        count = int(flags.get("count", 64))
+        imgs = generate_samples(
+            gan, g_params, key, count,
+            truncation=float(flags.get("truncation", 0.0)),
+        )
     out = str(flags.get("out") or f"{cfg.workdir}/samples/cli_step_{int(state.step)}.png")
-    save_image_grid(imgs, out)
+    save_image_grid(imgs, out, cols=grid_cols)
     print(f"[locate-tpu] wrote {count} samples (step {int(state.step)}) to {out}")
     mgr.close()
     return 0

@@ -23,13 +23,50 @@ def _jitted_apply(apply_fn):
 
 
 def generate_samples(
-    gan: GAN, g_params, key: jax.Array, count: int, labels=None
+    gan: GAN, g_params, key: jax.Array, count: int, labels=None,
+    truncation: float = 0.0,
 ) -> np.ndarray:
     """Run the generator and return uint8 NHWC images on host."""
-    z = gan.sample_latents(key, count)
+    z = gan.sample_latents(key, count, truncation)
     if labels is None and gan.config.num_classes:
         labels = jnp.arange(count) % gan.config.num_classes
     imgs = _jitted_apply(gan.generator.apply)(g_params, z, labels)
+    return to_uint8(np.asarray(jax.device_get(imgs), np.float32))
+
+
+def slerp(a: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
+    """Spherical interpolation between latent vectors (the standard way to
+    walk a Gaussian latent space — linear interp leaves the shell)."""
+    a_n = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b_n = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    omega = jnp.arccos(jnp.clip(jnp.sum(a_n * b_n, axis=-1, keepdims=True), -1, 1))
+    so = jnp.sin(omega)
+    t = jnp.asarray(t)[..., None]
+    return jnp.where(
+        so < 1e-6,
+        (1.0 - t) * a + t * b,  # parallel vectors: fall back to lerp
+        (jnp.sin((1.0 - t) * omega) * a + jnp.sin(t * omega) * b) / so,
+    )
+
+
+def interpolation_grid(
+    gan: GAN, g_params, key: jax.Array, rows: int = 4, cols: int = 8,
+    labels=None,
+) -> np.ndarray:
+    """`rows` latent pairs, each slerp-interpolated across `cols` steps —
+    the classic GAN interpolation sheet. Returns uint8 (rows*cols, H, W, C)
+    in row-major order for `save_image_grid(..., cols=cols)`."""
+    ka, kb = jax.random.split(key)
+    za = gan.sample_latents(ka, rows).astype(jnp.float32)
+    zb = gan.sample_latents(kb, rows).astype(jnp.float32)
+    ts = jnp.linspace(0.0, 1.0, cols)
+    z = jax.vmap(lambda t: slerp(za, zb, jnp.full((rows,), t)))(ts)  # (cols, rows, D)
+    z = jnp.swapaxes(z, 0, 1).reshape(rows * cols, -1)
+    if labels is None and gan.config.num_classes:
+        labels = jnp.repeat(jnp.arange(rows) % gan.config.num_classes, cols)
+    imgs = _jitted_apply(gan.generator.apply)(
+        g_params, z.astype(gan.compute_dtype), labels
+    )
     return to_uint8(np.asarray(jax.device_get(imgs), np.float32))
 
 

@@ -29,9 +29,21 @@ class GAN:
             "discriminator": self.discriminator.init(kd),
         }
 
-    def sample_latents(self, key: jax.Array, n: int) -> jax.Array:
-        """z ~ N(0, I) in the compute dtype (SURVEY.md §4.1)."""
-        z = jax.random.normal(key, (n, self.config.latent_dim), jnp.float32)
+    def sample_latents(
+        self, key: jax.Array, n: int, truncation: float = 0.0
+    ) -> jax.Array:
+        """z ~ N(0, I) in the compute dtype (SURVEY.md §4.1).
+
+        `truncation` > 0 applies the truncation trick (BigGAN-style
+        quality/diversity knob): z is drawn from N(0, I) truncated to
+        [-truncation, truncation]."""
+        shape = (n, self.config.latent_dim)
+        if truncation > 0.0:
+            z = jax.random.truncated_normal(
+                key, -truncation, truncation, shape, jnp.float32
+            )
+        else:
+            z = jax.random.normal(key, shape, jnp.float32)
         return z.astype(self.compute_dtype)
 
     def sample_labels(self, key: jax.Array, n: int):
