@@ -6,6 +6,15 @@ north_star): model constructors, block factories, train-loop entry points,
 sampling/checkpointing.
 """
 
+import jax as _jax
+
+# Partitionable threefry lets XLA shard jax.random sampling across a mesh
+# instead of replicate-and-slice. It changes the values drawn for a given
+# key, so it must be set ONCE at a consistent point — package import —
+# rather than as a side effect of building a mesh (otherwise the same
+# PRNGKey would yield different samples depending on call order).
+_jax.config.update("jax_threefry_partitionable", True)
+
 from locate_tpu.config import (
     AttentionConfig,
     Config,
@@ -34,7 +43,16 @@ from locate_tpu.train.state import TrainState, create_train_state
 from locate_tpu.train.step import make_train_step
 from locate_tpu.train.loop import train
 from locate_tpu.io.checkpoint import CheckpointManager
-from locate_tpu.io.sampling import generate_samples, save_image_grid
+from locate_tpu.io.export import export_generator, load_generator
+from locate_tpu.io.fid import evaluate_generator, frechet_distance, kid
+from locate_tpu.io.sampling import (
+    generate_samples,
+    interpolation_grid,
+    save_image_grid,
+    slerp,
+)
+from locate_tpu.parallel.mesh import make_mesh
+from locate_tpu.parallel.sharding import make_step_for
 
 __version__ = "0.1.0"
 
@@ -48,4 +66,7 @@ __all__ = [
     "d_nonsat_loss", "g_nonsat_loss", "r1_penalty", "ema_init", "ema_update",
     "TrainState", "create_train_state", "make_train_step", "train",
     "CheckpointManager", "generate_samples", "save_image_grid",
+    "export_generator", "load_generator",
+    "evaluate_generator", "frechet_distance", "kid",
+    "interpolation_grid", "slerp", "make_mesh", "make_step_for",
 ]

@@ -3,7 +3,7 @@ preset configs and key=value overrides.
 
     python -m locate_tpu train cifar10_32 train.global_batch=32
     python -m locate_tpu sample cifar10_32 --checkpoint runs/cifar10_32
-    python -m locate_tpu bench lsun_bedroom_128
+    python -m locate_tpu bench 128 20        # batch, timed steps
 """
 
 from __future__ import annotations
@@ -15,14 +15,25 @@ from locate_tpu.config import get_config, parse_cli_overrides
 
 
 def _split_args(argv: List[str]):
+    """--key=value / --key value flags; bare key=value args are config
+    overrides."""
     flags = {}
     overrides = []
-    for a in argv:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--"):
-            key, _, val = a[2:].partition("=")
-            flags[key] = val or True
+            key, eq, val = a[2:].partition("=")
+            if eq:
+                flags[key] = val
+            elif i + 1 < len(argv) and not argv[i + 1].startswith("--") and "=" not in argv[i + 1]:
+                flags[key] = argv[i + 1]
+                i += 1
+            else:
+                flags[key] = True
         else:
             overrides.append(a)
+        i += 1
     return flags, parse_cli_overrides(overrides)
 
 
@@ -191,9 +202,16 @@ def cmd_bench_input(argv: List[str]) -> int:
 
 
 def cmd_bench(argv: List[str]) -> int:
+    """`bench [batch] [steps] [xla|fused]` — preset names and key=value
+    overrides are ignored by bench.py (it pins the primary-metric config),
+    so only numeric/flag args are forwarded."""
     import bench
 
-    sys.argv = ["bench.py"] + [a for a in argv if not a.startswith("--")]
+    forwarded = [
+        a for a in argv
+        if a.isdigit() or a in ("xla", "fused")
+    ]
+    sys.argv = ["bench.py"] + forwarded
     bench.main()
     return 0
 

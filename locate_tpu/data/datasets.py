@@ -193,18 +193,28 @@ class ImageFolder:
             self.num_classes = 0
         if not self.files:
             raise FileNotFoundError(f"no images under {path!r}")
+        # native decoder handles JPEG/PNG RGB only (cached: checked per batch)
+        self._native_eligible = channels == 3 and all(
+            f.lower().endswith(self.NATIVE_EXTENSIONS) for f in self.files
+        )
 
     def __len__(self) -> int:
         return len(self.files)
 
+    # formats the native decoder handles (loader.cc sniffs JPEG/PNG magic)
+    NATIVE_EXTENSIONS = (".png", ".jpg", ".jpeg")
+
     def batch_fast(self, indices, flips):
         """Native batched decode+crop+resize+flip (C++ thread pool; see
-        data/_native/loader.cc). Raises if the native lib is unavailable or
-        a file fails to decode — the producer falls back to `example`."""
+        data/_native/loader.cc). Raises RuntimeError when the native path
+        is structurally unavailable (lib missing, non-RGB, non-JPEG/PNG
+        files present) — the producer then falls back to `example`
+        permanently; raises OSError on a corrupt file — the producer
+        retries that batch via `example`."""
         from locate_tpu.data import native
 
-        if self.channels != 3 or not native.available():
-            raise RuntimeError("native loader unavailable")
+        if not self._native_eligible or not native.available():
+            raise RuntimeError("native loader unavailable for this folder")
         paths = [self.files[int(i)] for i in indices]
         images = native.decode_batch(paths, self.resolution, flips)
         labels = np.asarray([self.labels[int(i)] for i in indices], np.int32)

@@ -107,10 +107,13 @@ class BatchProducer:
                     try:
                         imgs, labs = self.dataset.batch_fast(indices, flips)
                         batch = {"image": imgs, "label": labs}
-                    except RuntimeError:
-                        # native loader unavailable: permanent per-example
-                        # fallback (no retry churn)
-                        use_fast = False
+                    except (RuntimeError, OSError) as e:
+                        if isinstance(e, RuntimeError):
+                            # fast path structurally unavailable:
+                            # permanent fallback (no retry churn)
+                            use_fast = False
+                        # OSError (corrupt file): fall back for this batch
+                        # only — PIL may still decode it
                         for i, fl in zip(indices, flips):
                             img, label = self.dataset.example(i, rng)
                             if fl:
@@ -191,6 +194,34 @@ def device_prefetch(
         yield buf.popleft()
 
 
+class InputPipeline:
+    """Closeable batch iterator: `close()` stops the producer thread and
+    drops the device-resident prefetch buffers (callers must close — a
+    leaked producer keeps decoding and pins `prefetch` batches in HBM)."""
+
+    def __init__(self, producer: BatchProducer, iterator: Iterator[Batch],
+                 dataset):
+        self._producer = producer
+        self._iterator = iterator
+        self.dataset = dataset
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Batch:
+        return next(self._iterator)
+
+    def close(self) -> None:
+        self._producer.close()
+        self._iterator = iter(())
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def make_input_pipeline(
     data_cfg,
     global_batch: int,
@@ -200,7 +231,7 @@ def make_input_pipeline(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
     skip_batches: int = 0,
-) -> Iterator[Batch]:
+) -> InputPipeline:
     """Dataset -> producer thread -> device prefetch, per-host sharded.
     `skip_batches` deterministically fast-forwards the stream for resume."""
     from locate_tpu.data.datasets import make_dataset
@@ -221,4 +252,5 @@ def make_input_pipeline(
         prefetch=data_cfg.prefetch,
         skip_examples=skip_batches * per_host,
     )
-    return device_prefetch(iter(producer), sharding, depth=data_cfg.prefetch)
+    it = device_prefetch(iter(producer), sharding, depth=data_cfg.prefetch)
+    return InputPipeline(producer, it, dataset)

@@ -201,10 +201,15 @@ def evaluate_generator(
     extractor: Optional[FeatureFn] = None,
     batch: int = 64,
     seed: int = 0,
+    cache: Optional[dict] = None,
 ) -> dict:
     """Generate n_samples, extract features for both generated and real
     examples, return {"fid": ..., "kid": ...} (rFID/rKID with the default
-    random extractor)."""
+    random extractor).
+
+    Pass the same `cache` dict across calls (e.g. periodic in-training
+    eval) to compute the real-image features once — they are constant for
+    a fixed (dataset, extractor, seed, n_samples)."""
     from locate_tpu.io.sampling import generate_samples
 
     extractor = extractor or RandomConvFeatures()
@@ -217,10 +222,15 @@ def evaluate_generator(
         fake_feats.append(extractor(imgs))
     fake = np.concatenate(fake_feats, axis=0)
 
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(dataset), min(n_samples, len(dataset)), replace=False)
-    real_imgs = np.stack([dataset.example(int(i))[0] for i in idx])
-    real = features_in_batches(real_imgs, extractor, batch)
+    cache_key = ("real_features", id(dataset), id(extractor), seed, n_samples)
+    real = cache.get(cache_key) if cache is not None else None
+    if real is None:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(dataset), min(n_samples, len(dataset)), replace=False)
+        real_imgs = np.stack([dataset.example(int(i))[0] for i in idx])
+        real = features_in_batches(real_imgs, extractor, batch)
+        if cache is not None:
+            cache[cache_key] = real
 
     mu_f, s_f = feature_stats(fake)
     mu_r, s_r = feature_stats(real)

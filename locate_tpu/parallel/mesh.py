@@ -19,14 +19,6 @@ from locate_tpu.config import ParallelConfig
 
 
 def make_mesh(cfg: ParallelConfig, devices=None) -> Mesh:
-    """Build a (data, model) mesh over the given (default: all) devices."""
-    # Partitionable threefry: lets XLA shard jax.random sampling across the
-    # mesh instead of replicating-and-slicing (one-time global setting).
-    jax.config.update("jax_threefry_partitionable", True)
-    return _make_mesh(cfg, devices)
-
-
-def _make_mesh(cfg: ParallelConfig, devices=None) -> Mesh:
     """Build a (data, model) mesh over the given (default: all) devices.
 
     `data_parallel == -1` consumes all devices not used by `model_parallel`.

@@ -65,8 +65,11 @@ def train(
         )
         sample_key = jax.random.PRNGKey(cfg.train.seed + 1)  # fixed grid latents
         metrics = {}
+        eval_extractor = None
+        eval_cache: dict = {}
         start = int(state.step)
-        for step_idx in range(start, total_steps):
+        try:
+          for step_idx in range(start, total_steps):
             batch = next(batches)
             with trace_annotation("train_step"):
                 state, metrics = step_fn(state, batch)
@@ -93,13 +96,15 @@ def train(
                     hooks["on_samples"](step_num, imgs)
 
             if cfg.train.eval_every and step_num % cfg.train.eval_every == 0:
-                from locate_tpu.data.datasets import make_dataset
-                from locate_tpu.io.fid import evaluate_generator
+                from locate_tpu.io.fid import RandomConvFeatures, evaluate_generator
 
+                if eval_extractor is None:
+                    eval_extractor = RandomConvFeatures()
                 g_params = state.ema_params if state.ema_params is not None else state.g_params
                 scores = evaluate_generator(
-                    gan, g_params, make_dataset(cfg.data),
+                    gan, g_params, batches.dataset,  # reuse: no dataset rebuild
                     n_samples=cfg.train.eval_samples, seed=cfg.train.seed,
+                    extractor=eval_extractor, cache=eval_cache,
                 )
                 logger.log_scalars(
                     step_num, {"eval_rfid": scores["fid"], "eval_rkid": scores["kid"]}
@@ -111,6 +116,9 @@ def train(
                 step_num % cfg.train.checkpoint_every == 0 or step_num == total_steps
             ):
                 ckpt.save(state)
-        logger.flush()
-        ckpt.close()
+        finally:
+            # stop the producer thread and release prefetched HBM batches
+            batches.close()
+            logger.flush()
+            ckpt.close()
     return state
