@@ -177,6 +177,41 @@ def _pick_tile(hw: int) -> int:
     return hw
 
 
+def _prep_operands(x2d, pos_proj, w1x, b1, w2, b2):
+    """Shared fwd/bwd pre-cast: weights to the compute dtype (MXU inputs);
+    biases/pos_proj stay f32 (they join post-matmul f32 accumulators)."""
+    cd = x2d.dtype
+    hd = w1x.shape[1]
+    cout = w2.shape[1]
+    return (
+        w1x.astype(cd),
+        b1.reshape(1, hd).astype(jnp.float32),
+        w2.astype(cd),
+        b2.reshape(1, cout).astype(jnp.float32),
+        pos_proj.astype(jnp.float32),
+    )
+
+
+def _full_spec(shape):
+    """Whole-array block (constant index map) — weights/biases."""
+    nzeros = len(shape)
+    return pl.BlockSpec(
+        shape, lambda i, j, _n=nzeros: (0,) * _n, memory_space=pltpu.VMEM
+    )
+
+
+def _tile_specs(t, c, hd, *, batch_major: bool):
+    """(x, pos_proj) BlockSpecs. batch_major: grid (N, S), spatial tile is
+    grid dim 1; else grid (S, N) with the batch innermost."""
+    if batch_major:
+        x_spec = pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+        pp_spec = pl.BlockSpec((t, hd), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((1, t, c), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
+        pp_spec = pl.BlockSpec((t, hd), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    return x_spec, pp_spec
+
+
 def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
                                leaky_slope, hw_scale, interpret):
     """Returns (y, m, se): softmax mode also returns its running max /
@@ -189,25 +224,11 @@ def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
     s = hw // t
     cd = x2d.dtype
 
-    # pre-cast weights to the compute dtype; biases/pos_proj stay f32 (they
-    # join post-matmul f32 accumulators)
-    w1c = w1x.astype(cd)
-    w2c = w2.astype(cd)
-    b1r = b1.reshape(1, hd).astype(jnp.float32)
-    b2r = b2.reshape(1, cout).astype(jnp.float32)
-    ppf = pos_proj.astype(jnp.float32)
-
+    w1c, b1r, w2c, b2r, ppf = _prep_operands(x2d, pos_proj, w1x, b1, w2, b2)
     kern = functools.partial
-    x_spec = pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    pp_spec = pl.BlockSpec((t, hd), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
-
-    def full(shape):
-        nzeros = len(shape)
-        return pl.BlockSpec(
-            shape, lambda i, j, _n=nzeros: (0,) * _n, memory_space=pltpu.VMEM
-        )
-
-    w_specs = [full(w1c.shape), full((1, hd)), full(w2c.shape), full((1, cout))]
+    x_spec, pp_spec = _tile_specs(t, c, hd, batch_major=True)
+    w_specs = [_full_spec(w1c.shape), _full_spec((1, hd)),
+               _full_spec(w2c.shape), _full_spec((1, cout))]
 
     if mode == "sigmoid":
         y = pl.pallas_call(
@@ -262,10 +283,13 @@ def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
 
 
 def _act_grad(kind: str, slope: float):
+    # Subgradient choices match the oracle EXACTLY: jax.nn.leaky_relu is
+    # where(x >= 0, ...) (grad 1 at 0); jax.nn.relu's custom JVP defines
+    # grad 0 at 0.
     if kind == "leaky_relu":
         return lambda u: jnp.where(u >= 0, 1.0, slope)
     if kind == "relu":
-        return lambda u: jnp.where(u >= 0, 1.0, 0.0)
+        return lambda u: jnp.where(u > 0, 1.0, 0.0)
     raise ValueError(kind)
 
 
@@ -299,18 +323,37 @@ def _softmax_csum_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref,
         c_ref[0] = c_acc[:]
 
 
-def _bwd_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                m_ref, s_ref, c_ref,
-                dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                *, mode, act, leaky_slope, hw_scale):
+def _bwd_kernel_sigmoid(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                        *, act, leaky_slope):
+    _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+              None, None, None,
+              dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+              mode="sigmoid", act=act, leaky_slope=leaky_slope, hw_scale=1.0)
+
+
+def _bwd_kernel_softmax(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        m_ref, s_ref, c_ref,
+                        dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                        *, act, leaky_slope, hw_scale):
+    _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+              m_ref, s_ref, c_ref,
+              dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+              mode="softmax", act=act, leaky_slope=leaky_slope,
+              hw_scale=hw_scale)
+
+
+def _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+              m_ref, s_ref, c_ref,
+              dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+              *, mode, act, leaky_slope, hw_scale):
     """Pass B (grid (S, N), batch innermost): recompute the gate MLP for
     one tile, apply the gate jacobian, and backprop the per-location MLP.
     Weight grads accumulate in-place in their (revisited) output blocks;
-    dpos_proj accumulates over the batch steps of its spatial tile."""
+    dpos_proj accumulates over the batch steps of its spatial tile.
+    sigmoid mode passes no stats refs (m/s/c are None)."""
     i = pl.program_id(0)  # spatial tile
     j = pl.program_id(1)  # batch element
-    ns = pl.num_programs(0)
-    nb = pl.num_programs(1)
 
     xb = x_ref[0]                                    # (T, C) cd
     cd = xb.dtype
@@ -392,28 +435,18 @@ def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
     s = hw // t
     cd = x2d.dtype
 
-    w1c = w1x.astype(cd)
-    w2c = w2.astype(cd)
-    b1r = b1.reshape(1, hd).astype(jnp.float32)
-    b2r = b2.reshape(1, cout).astype(jnp.float32)
-    ppf = pos_proj.astype(jnp.float32)
+    w1c, b1r, w2c, b2r, ppf = _prep_operands(x2d, pos_proj, w1x, b1, w2, b2)
     kern = functools.partial
-
-    def full(shape):
-        ndim = len(shape)
-        return pl.BlockSpec(
-            shape, lambda i, j, _n=ndim: (0,) * _n, memory_space=pltpu.VMEM
-        )
-
-    w_specs = [full(w1c.shape), full((1, hd)), full(w2c.shape), full((1, cout))]
+    w_specs = [_full_spec(w1c.shape), _full_spec((1, hd)),
+               _full_spec(w2c.shape), _full_spec((1, cout))]
+    # stats indexed by the batch grid dim: dim 1 in pass B's (S, N) grid
     stat_spec = pl.BlockSpec(
         (1, 1, cout), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
     )
 
     if mode == "softmax":
         # pass A: grid (N, S) — csum per batch row
-        xa_spec = pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-        ppa_spec = pl.BlockSpec((t, hd), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        xa_spec, ppa_spec = _tile_specs(t, c, hd, batch_major=True)
         stata_spec = pl.BlockSpec(
             (1, 1, cout), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         )
@@ -427,28 +460,30 @@ def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
             scratch_shapes=[pltpu.VMEM((1, cout), jnp.float32)],
             interpret=interpret,
         )(x2d, dy2d, ppf, w1c, b1r, w2c, b2r, m, se)
+        bwd_kernel = kern(_bwd_kernel_softmax, act=act,
+                          leaky_slope=leaky_slope, hw_scale=hw_scale)
+        stats_operands = (m, se, csum)
+        stats_specs = [stat_spec, stat_spec, stat_spec]
     else:
-        csum = jnp.zeros((n, 1, cout), jnp.float32)
-        m = jnp.zeros((n, 1, cout), jnp.float32)
-        se = jnp.ones((n, 1, cout), jnp.float32)
+        # sigmoid is tile-local: no stats operands at all
+        bwd_kernel = kern(_bwd_kernel_sigmoid, act=act, leaky_slope=leaky_slope)
+        stats_operands = ()
+        stats_specs = []
 
     # pass B: grid (S, N) — batch innermost for dpos_proj accumulation
-    xb_spec = pl.BlockSpec((1, t, c), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM)
-    ppb_spec = pl.BlockSpec((t, hd), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    xb_spec, ppb_spec = _tile_specs(t, c, hd, batch_major=False)
 
     outs = pl.pallas_call(
-        kern(_bwd_kernel, mode=mode, act=act, leaky_slope=leaky_slope,
-             hw_scale=hw_scale),
+        bwd_kernel,
         grid=(s, n),
-        in_specs=[xb_spec, xb_spec, ppb_spec] + w_specs
-        + [stat_spec, stat_spec, stat_spec],
+        in_specs=[xb_spec, xb_spec, ppb_spec] + w_specs + stats_specs,
         out_specs=(
             xb_spec,                               # dx
             ppb_spec,                              # dpos_proj
-            full(w1c.shape),                       # dw1
-            full((1, hd)),                         # db1
-            full(w2c.shape),                       # dw2
-            full((1, cout)),                       # db2
+            _full_spec(w1c.shape),                 # dw1
+            _full_spec((1, hd)),                   # db1
+            _full_spec(w2c.shape),                 # dw2
+            _full_spec((1, cout)),                 # db2
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, hw, c), cd),
@@ -459,7 +494,7 @@ def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
             jax.ShapeDtypeStruct((1, cout), jnp.float32),
         ),
         interpret=interpret,
-    )(x2d, dy2d, ppf, w1c, b1r, w2c, b2r, m, se, csum)
+    )(x2d, dy2d, ppf, w1c, b1r, w2c, b2r, *stats_operands)
 
     dx, dpp, dw1, db1, dw2, db2 = outs
     return (
@@ -529,7 +564,12 @@ def fused_locate_attention(
     leaky_slope: float = 0.2,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused residual-form location attention; differentiable."""
+    """Fused residual-form location attention.
+
+    Differentiable FIRST-ORDER ONLY (custom_vjp): grad-of-grad (R1,
+    path-length penalties, Hessians) must go through the XLA composition
+    instead — see train/step.py's `d_apply_r1` twin for the pattern.
+    """
     n, h, w, c = x.shape
     core = _make_fused_core(mode, act, float(leaky_slope), float(h * w), interpret)
     return core(x.reshape(n, h * w, c), pos_proj, w1x, b1, w2, b2).reshape(x.shape)

@@ -98,3 +98,19 @@ def test_cifar_fallback_to_synthetic():
     ds = make_dataset(cfg)
     img, _ = ds.example(0)
     assert img.shape == (32, 32, 3)
+
+
+def test_input_pipeline_closeable():
+    """InputPipeline.close() stops the producer thread (leak regression)."""
+    import threading
+    import time
+
+    from locate_tpu.data.pipeline import make_input_pipeline
+
+    cfg = DataConfig(dataset="synthetic", resolution=16, prefetch=2)
+    before = threading.active_count()
+    with make_input_pipeline(cfg, 8, seed=0, process_index=0, process_count=1) as it:
+        b = next(it)
+        assert b["image"].shape == (8, 16, 16, 3)
+    time.sleep(1.0)  # producer polls its stop event at 0.5s
+    assert threading.active_count() <= before

@@ -86,6 +86,69 @@ def test_multi_tile_softmax():
 
 
 @pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
+def test_grad_multi_tile_multi_batch(mode):
+    """Exercises the backward's accumulation machinery: multiple spatial
+    tiles (s=2) AND multiple batch elements, comparing EVERY gradient
+    including dpos_proj (the per-tile flush) against the oracle."""
+    x, pos_proj, w1x, b1, w2, b2 = make_inputs(n=3, h=32, w=32, c=8, hd=8, seed=11)
+    n, h, w, c = x.shape
+
+    def loss_fused(x, pos_proj, w1x, b1, w2, b2):
+        y = fused_locate_attention(
+            x, pos_proj, w1x, b1, w2, b2, mode=mode, interpret=True
+        )
+        return jnp.sum(jnp.sin(y))
+
+    def loss_oracle(x, pos_proj, w1x, b1, w2, b2):
+        y = locate_attention_xla_core(
+            x.reshape(n, h * w, c), pos_proj, w1x, b1, w2, b2,
+            mode=mode, act="leaky_relu", leaky_slope=0.2, hw_scale=float(h * w),
+        )
+        return jnp.sum(jnp.sin(y))
+
+    args = (x, pos_proj, w1x, b1, w2, b2)
+    gf = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    go = jax.grad(loss_oracle, argnums=tuple(range(6)))(*args)
+    names = ("x", "pos_proj", "w1x", "b1", "w2", "b2")
+    for nm, a, b in zip(names, gf, go):
+        if mode == "softmax" and nm == "b2":
+            continue  # analytically zero (shift invariance); pure noise
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=nm
+        )
+
+
+@pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
+def test_relu_grad_matches_oracle_at_zero(mode):
+    """relu subgradient at exactly 0 must match jax.nn.relu's (grad 0)."""
+    c, hd = 8, 8
+    x = jnp.zeros((1, 4, 4, c), jnp.float32)  # u == 0 everywhere
+    pos_proj = jnp.zeros((16, hd), jnp.float32)
+    w1x = jnp.ones((c, hd), jnp.float32) * 0.1
+    b1 = jnp.zeros((hd,))
+    w2 = jnp.ones((hd, c), jnp.float32) * 0.1
+    b2 = jnp.zeros((c,))
+
+    def lf(b1):
+        y = fused_locate_attention(
+            x, pos_proj, w1x, b1, w2, b2, mode=mode, act="relu", interpret=True
+        )
+        return jnp.sum(y)
+
+    def lo(b1):
+        y = locate_attention_xla_core(
+            x.reshape(1, 16, c), pos_proj, w1x, b1, w2, b2,
+            mode=mode, act="relu", leaky_slope=0.2, hw_scale=16.0,
+        )
+        return jnp.sum(y)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(lf)(b1)), np.asarray(jax.grad(lo)(b1)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
 def test_broadcast_gate_cout1(mode):
     """per_channel=False (gate broadcasts over channels): fwd and grads
     match the oracle — dL/dg must sum over channels in the backward."""
