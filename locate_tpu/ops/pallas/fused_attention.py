@@ -170,9 +170,14 @@ def _softmax_apply_kernel(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 # ---------------------------------------------------------------------------
 
 
-def _pick_tile(hw: int) -> int:
-    for t in (512, 256, 128, 64, 32, 16, 8):
-        if hw % t == 0:
+def _pick_tile(hw: int, channels: int = 512) -> int:
+    """Spatial tile size: target ~256 KB of bf16 x-block per grid step
+    (measured sweet spot at C=512 on the v5e — bigger tiles regress,
+    likely from VMEM pressure under the pipeline's double buffering),
+    clamped to [8, 1024] and to divisors of hw."""
+    budget = max(8, min(1024, (256 * 1024) // max(1, channels * 2)))
+    for t in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if t <= budget and hw % t == 0:
             return t
     return hw
 
@@ -220,7 +225,7 @@ def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
     n, hw, c = x2d.shape
     hd = w1x.shape[1]
     cout = w2.shape[1]
-    t = _pick_tile(hw)
+    t = _pick_tile(hw, c)
     s = hw // t
     cd = x2d.dtype
 
@@ -431,7 +436,7 @@ def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
     n, hw, c = x2d.shape
     hd = w1x.shape[1]
     cout = w2.shape[1]
-    t = _pick_tile(hw)
+    t = _pick_tile(hw, c)
     s = hw // t
     cd = x2d.dtype
 
