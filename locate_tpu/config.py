@@ -203,9 +203,10 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Numerics sanitizer (SURVEY.md §6): wrap both optimizers in
-    # optax.apply_if_finite so a non-finite gradient skips the update
-    # instead of poisoning the params; aborts after this many consecutive
-    # bad steps. 0 disables the wrapper.
+    # optax.apply_if_finite so a non-finite gradient ALWAYS skips the
+    # update (params are never poisoned), and the train loop raises once
+    # the consecutive-skip streak reaches this value (checked every
+    # log_every steps, so keep log_every <= this). 0 disables the wrapper.
     max_nonfinite_skips: int = 0
     # TensorBoard scalars/images under <workdir>/tb (lazy TF import).
     tensorboard: bool = False

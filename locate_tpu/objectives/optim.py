@@ -10,17 +10,23 @@ from locate_tpu.config import OptimConfig, TrainConfig
 
 
 def make_schedule(base_lr: float, tcfg: TrainConfig):
+    # Under grad_accum the schedule count advances once per OPTIMIZER
+    # update (optax.MultiSteps only persists the inner state on emit
+    # steps), while total_steps counts loop micro-steps — so horizons are
+    # expressed in updates here or the schedule would never complete.
+    accum = max(1, tcfg.grad_accum)
+    decay_updates = max(1, tcfg.total_steps // accum)
     kind = tcfg.lr_schedule
     if kind == "constant":
         return base_lr
     if kind == "cosine":
-        return optax.cosine_decay_schedule(base_lr, decay_steps=tcfg.total_steps)
+        return optax.cosine_decay_schedule(base_lr, decay_steps=decay_updates)
     if kind == "linear_warmup_cosine":
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=base_lr,
-            warmup_steps=max(1, tcfg.warmup_steps),
-            decay_steps=tcfg.total_steps,
+            warmup_steps=max(1, tcfg.warmup_steps // accum),
+            decay_steps=decay_updates,
         )
     raise ValueError(f"unknown lr_schedule {kind!r}")
 
@@ -35,9 +41,13 @@ def make_optimizer(
         b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
     )
     if max_nonfinite_skips > 0:
-        # Numerics sanitizer (SURVEY.md §6): skip non-finite updates, abort
-        # after `max_nonfinite_skips` consecutive ones.
-        opt = optax.apply_if_finite(opt, max_consecutive_errors=max_nonfinite_skips)
+        # Numerics sanitizer (SURVEY.md §6): skip non-finite updates.
+        # The error limit is effectively infinite ON PURPOSE: optax's
+        # semantics at the limit are to give up and APPLY the non-finite
+        # update (silently NaN-poisoning params). Instead, params are
+        # never poisoned here and the TRAIN LOOP aborts when the streak
+        # metric reaches cfg.train.max_nonfinite_skips.
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=10**9)
     return opt
 
 

@@ -83,6 +83,21 @@ def train(
                 logger.log_scalars(step_num, host_metrics)
                 if "on_metrics" in hooks:
                     hooks["on_metrics"](step_num, host_metrics)
+                # Numerics abort (SURVEY.md §6): params are never poisoned
+                # (non-finite updates are always skipped), but a persistent
+                # streak means training is dead — stop instead of spinning.
+                limit = cfg.train.max_nonfinite_skips
+                if limit > 0:
+                    streak = max(
+                        host_metrics.get("d_nonfinite_streak", 0),
+                        host_metrics.get("g_nonfinite_streak", 0),
+                    )
+                    if streak >= limit:
+                        raise RuntimeError(
+                            f"aborting at step {step_num}: {int(streak)} "
+                            f"consecutive non-finite gradient steps "
+                            f"(limit {limit})"
+                        )
 
             if cfg.train.sample_every and (
                 step_num % cfg.train.sample_every == 0 or step_num == total_steps

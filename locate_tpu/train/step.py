@@ -97,25 +97,50 @@ def make_train_step(
             loss = loss + pen
         return loss, aux
 
-    def finish(state, new_rng, d_loss, d_aux, d_grads, g_loss, g_grads):
+    def d_update(state, d_grads):
         d_grads = pmean(d_grads)
-        g_grads = pmean(g_grads)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        return optax.apply_updates(state.d_params, d_updates), d_opt_state, d_grads
+
+    def _nonfinite_streak(opt_state):
+        """Consecutive skipped-update count from the apply_if_finite
+        wrapper (possibly nested inside MultiSteps); None when disabled."""
+        if tcfg.max_nonfinite_skips <= 0:
+            return None
+        inner = opt_state.inner_opt_state if tcfg.grad_accum > 1 else opt_state
+        return inner.notfinite_count
+
+    def finish(state, new_rng, d_loss, d_aux, d_grads, d_params, d_opt_state,
+               g_loss, g_grads):
+        """Shared tail of both step flavors: G update, EMA, metrics, state."""
+        g_grads = pmean(g_grads)
         g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         ema_params = state.ema_params
         if ema_params is not None:
-            ema_params = ema_update(ema_params, g_params, tcfg.ema_decay)
-        metrics = pmean(
-            {
-                "d_loss": d_loss,
-                "g_loss": g_loss,
-                "d_grad_norm": optax.global_norm(d_grads),
-                "g_grad_norm": optax.global_norm(g_grads),
-                **d_aux,
-            }
-        )
+            new_ema = ema_update(ema_params, g_params, tcfg.ema_decay)
+            if tcfg.grad_accum > 1:
+                # EMA moves only on optimizer emits (MultiSteps leaves
+                # params unchanged on accumulation micro-steps; updating
+                # EMA anyway would shrink its horizon by grad_accum x).
+                emitted = g_opt_state.mini_step == 0
+                ema_params = jax.tree.map(
+                    lambda e, v: jnp.where(emitted, v, e), ema_params, new_ema
+                )
+            else:
+                ema_params = new_ema
+        metrics = {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "d_grad_norm": optax.global_norm(d_grads),
+            "g_grad_norm": optax.global_norm(g_grads),
+            **d_aux,
+        }
+        d_streak = _nonfinite_streak(d_opt_state)
+        if d_streak is not None:
+            metrics["d_nonfinite_streak"] = d_streak
+            metrics["g_nonfinite_streak"] = _nonfinite_streak(g_opt_state)
+        metrics = pmean(metrics)
         new_state = TrainState(
             step=state.step + 1,
             rng=new_rng,
@@ -167,45 +192,19 @@ def make_train_step(
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
         )
-        d_grads_r = pmean(d_grads)
-        d_updates, d_opt_state = d_opt.update(d_grads_r, state.d_opt_state, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_params, d_opt_state, d_grads = d_update(state, d_grads)
 
         z_g = gan.sample_latents(k_zg, n)
         fake_labels_g = gan.sample_labels(k_lg, n)
 
         def g_loss_fn(g_params):
+            # through the *updated* D: alternating semantics
             fake = gan.generator.apply(g_params, z_g, fake_labels_g)
             return g_loss_of(gan.discriminator.apply(d_params, fake, fake_labels_g))
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
-        g_grads = pmean(g_grads)
-        g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_updates)
-
-        ema_params = state.ema_params
-        if ema_params is not None:
-            ema_params = ema_update(ema_params, g_params, tcfg.ema_decay)
-
-        metrics = pmean(
-            {
-                "d_loss": d_loss,
-                "g_loss": g_loss,
-                "d_grad_norm": optax.global_norm(d_grads_r),
-                "g_grad_norm": optax.global_norm(g_grads),
-                **d_aux,
-            }
-        )
-        new_state = TrainState(
-            step=state.step + 1,
-            rng=new_rng,
-            g_params=g_params,
-            d_params=d_params,
-            g_opt_state=g_opt_state,
-            d_opt_state=d_opt_state,
-            ema_params=ema_params,
-        )
-        return new_state, metrics
+        return finish(state, new_rng, d_loss, d_aux, d_grads, d_params,
+                      d_opt_state, g_loss, g_grads)
 
     # ---- fused simultaneous step (FusedProp-style) ----------------------
 
@@ -233,6 +232,8 @@ def make_train_step(
             state.d_params
         )
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
-        return finish(state, new_rng, d_loss, d_aux, d_grads, g_loss, g_grads)
+        d_params, d_opt_state, d_grads = d_update(state, d_grads)
+        return finish(state, new_rng, d_loss, d_aux, d_grads, d_params,
+                      d_opt_state, g_loss, g_grads)
 
     return fused_step if tcfg.fused_step else alternating_step

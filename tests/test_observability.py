@@ -51,3 +51,48 @@ def test_metrics_logger_stdout(capsys):
     assert "step 5" in out and "a=1" in out and "NONFINITE=['b']" in out
     logger.log_images(5, "x", np.zeros((2, 4, 4, 3), np.uint8))  # no-op
     logger.flush()
+
+
+def test_nonfinite_never_poisons_and_loop_aborts(tiny_config, tmp_path):
+    """Params stay finite under an arbitrarily long NaN streak (optax is
+    configured to never 'give up and apply'), and the train loop raises
+    once the streak metric reaches max_nonfinite_skips."""
+    import pytest
+
+    from locate_tpu.train.loop import train
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        workdir=str(tmp_path / "run"),
+        data=dataclasses.replace(tiny_config.data, dataset="synthetic"),
+        train=dataclasses.replace(
+            tiny_config.train, max_nonfinite_skips=3, log_every=1,
+            sample_every=0, checkpoint_every=0, g_opt=dataclasses.replace(
+                tiny_config.train.g_opt, lr=float("nan")
+            ),
+        ),
+    )
+    # NaN learning rate => every update is non-finite
+    with pytest.raises(RuntimeError, match="non-finite gradient steps"):
+        train(cfg, total_steps=10)
+
+
+def test_nonfinite_streak_metric(tiny_config):
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, max_nonfinite_skips=5),
+    )
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, gan))
+    nan_batch = {
+        "image": jnp.full((cfg.train.global_batch, 16, 16, 3), jnp.nan),
+        "label": jnp.zeros((cfg.train.global_batch,), jnp.int32),
+    }
+    for want in (1, 2):
+        state, metrics = step(state, nan_batch)
+        assert int(metrics["d_nonfinite_streak"]) == want
+    # params still bit-finite after the streak
+    assert all(
+        bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(state.d_params)
+    )
