@@ -139,20 +139,25 @@ void crop_resize_flip(const Image& src, int res, bool flip, uint8_t* dst) {
   int x0 = (src.w - s) / 2, y0 = (src.h - s) / 2;
   float scale = float(s) / float(res);
   int sw3 = src.w * 3;
+  // sample coordinates clamp to the CROP window, not the full image —
+  // otherwise upscaling bleeds pixels from outside the crop and diverges
+  // from the PIL fallback (crop-then-resize).
+  const float fy_lo = float(y0), fy_hi = float(y0 + s - 1);
+  const float fx_lo = float(x0), fx_hi = float(x0 + s - 1);
   for (int y = 0; y < res; ++y) {
     float fy = (y + 0.5f) * scale - 0.5f + y0;
-    if (fy < 0) fy = 0;
-    if (fy > src.h - 1) fy = float(src.h - 1);
+    if (fy < fy_lo) fy = fy_lo;
+    if (fy > fy_hi) fy = fy_hi;
     int iy = int(fy);
-    int iy1 = iy + 1 < src.h ? iy + 1 : iy;
+    int iy1 = iy + 1 <= int(fy_hi) ? iy + 1 : iy;
     float wy = fy - iy;
     uint8_t* drow = dst + size_t(y) * res * 3;
     for (int x = 0; x < res; ++x) {
       float fx = (x + 0.5f) * scale - 0.5f + x0;
-      if (fx < 0) fx = 0;
-      if (fx > src.w - 1) fx = float(src.w - 1);
+      if (fx < fx_lo) fx = fx_lo;
+      if (fx > fx_hi) fx = fx_hi;
       int ix = int(fx);
-      int ix1 = ix + 1 < src.w ? ix + 1 : ix;
+      int ix1 = ix + 1 <= int(fx_hi) ? ix + 1 : ix;
       float wx = fx - ix;
       const uint8_t* p00 = src.data.data() + size_t(iy) * sw3 + ix * 3;
       const uint8_t* p01 = src.data.data() + size_t(iy) * sw3 + ix1 * 3;

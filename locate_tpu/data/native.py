@@ -52,7 +52,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.ltpu_version.restype = ctypes.c_int
-    assert lib.ltpu_version() == 1
+    if lib.ltpu_version() != 1:
+        # not assert: must survive python -O, else a stale .so with a
+        # changed ABI would be called with mismatched signatures
+        raise RuntimeError(f"native loader ABI mismatch: {lib.ltpu_version()}")
     return lib
 
 
@@ -90,9 +93,10 @@ def decode_batch(
         raise RuntimeError("native loader unavailable")
     n = len(paths)
     out = np.empty((n, resolution, resolution, 3), np.uint8)
-    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    flips_arr = np.asarray(
-        flips if flips is not None else np.zeros(n), np.uint8
+    # os.fsencode: non-UTF-8 (surrogateescape) filenames must round-trip
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    flips_arr = np.ascontiguousarray(
+        np.asarray(flips if flips is not None else np.zeros(n), np.uint8)
     )
     bad = ctypes.c_int(-1)
     rc = lib.ltpu_decode_batch(
@@ -120,8 +124,8 @@ def resize_batch(
     n, h, w, c = images.shape
     assert c == 3, "native resize is RGB-only"
     out = np.empty((n, resolution, resolution, 3), np.uint8)
-    flips_arr = np.asarray(
-        flips if flips is not None else np.zeros(n), np.uint8
+    flips_arr = np.ascontiguousarray(
+        np.asarray(flips if flips is not None else np.zeros(n), np.uint8)
     )
     lib.ltpu_resize_batch(
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -76,6 +76,8 @@ def kid(features_a: np.ndarray, features_b: np.ndarray, subset_size: int = 512,
     d = a.shape[1]
     rng = np.random.default_rng(seed)
     m = min(subset_size, len(a), len(b))
+    if m < 2:
+        raise ValueError(f"KID needs >= 2 samples per side, got {m}")
     vals = []
     for _ in range(n_subsets):
         xa = a[rng.choice(len(a), m, replace=False)]
@@ -99,51 +101,69 @@ def kid(features_a: np.ndarray, features_b: np.ndarray, subset_size: int = 512,
 # ---------------------------------------------------------------------------
 
 
+def _make_conv_stack(ws, tail):
+    """Shared extractor core: stride-2 conv + leaky-relu stack over
+    uint8 NHWC input normalized to [-1, 1], with a pooling `tail`."""
+
+    @jax.jit
+    def apply(x):
+        feats = []
+        for i, w in enumerate(ws):
+            x = jax.lax.conv_general_dilated(
+                x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            x = jax.nn.leaky_relu(x, 0.2)
+            feats = tail(i, len(ws), x, feats)
+        return jnp.concatenate(feats, axis=-1)
+
+    def call(images_u8):
+        x = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
+        return np.asarray(apply(x), np.float32)
+
+    return call
+
+
 class RandomConvFeatures:
     """Deterministic random-weight conv feature net (JAX, jitted once).
 
     4 stride-2 conv stages (3x3, leaky-relu) + global mean/std pooling over
     the last two stages -> ~2*(c3+c4) features. Weights depend only on
-    (seed, channels), NOT on input resolution, so stats are comparable
-    across models generating the same resolution.
+    (seed, width, input channels), NOT on input resolution, so stats are
+    comparable across models generating the same resolution.
     """
 
     def __init__(self, seed: int = 0, width: int = 64):
         self.seed = seed
         self.width = width
-        self._apply = None
+        self._calls = {}  # keyed by input channel count
 
-    def _build(self):
+    @property
+    def cache_token(self) -> str:
+        return f"random_conv:{self.seed}:{self.width}"
+
+    def _build(self, cin: int):
         width = self.width
         key = jax.random.PRNGKey(self.seed)
-        chans = [3, width, width * 2, width * 4, width * 4]
+        chans = [cin, width, width * 2, width * 4, width * 4]
         keys = jax.random.split(key, len(chans) - 1)
         ws = [
-            jax.random.normal(k, (3, 3, cin, cout), jnp.float32)
-            * np.sqrt(2.0 / (9 * cin))
-            for k, cin, cout in zip(keys, chans[:-1], chans[1:])
+            jax.random.normal(k, (3, 3, ci, co), jnp.float32)
+            * np.sqrt(2.0 / (9 * ci))
+            for k, ci, co in zip(keys, chans[:-1], chans[1:])
         ]
 
-        @jax.jit
-        def apply(x):  # x: (N, H, W, 3) f32 in [-1, 1]
-            feats = []
-            for i, w in enumerate(ws):
-                x = jax.lax.conv_general_dilated(
-                    x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-                )
-                x = jax.nn.leaky_relu(x, 0.2)
-                if i >= len(ws) - 2:
-                    feats.append(x.mean(axis=(1, 2)))
-                    feats.append(x.std(axis=(1, 2)))
-            return jnp.concatenate(feats, axis=-1)
+        def tail(i, n_layers, x, feats):
+            if i >= n_layers - 2:
+                feats = feats + [x.mean(axis=(1, 2)), x.std(axis=(1, 2))]
+            return feats
 
-        return apply
+        return _make_conv_stack(ws, tail)
 
     def __call__(self, images_u8: np.ndarray) -> np.ndarray:
-        if self._apply is None:
-            self._apply = self._build()
-        x = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
-        return np.asarray(self._apply(x), np.float32)
+        cin = images_u8.shape[-1]
+        if cin not in self._calls:
+            self._calls[cin] = self._build(cin)
+        return self._calls[cin](images_u8)
 
 
 class NpzFeatureExtractor:
@@ -154,29 +174,21 @@ class NpzFeatureExtractor:
     changes."""
 
     def __init__(self, path: str):
+        self.path = path
         data = np.load(path)
-        self.ws = [jnp.asarray(data[f"w{i}"]) for i in range(len(data.files))]
-        self._apply = None
+        ws = [jnp.asarray(data[f"w{i}"]) for i in range(len(data.files))]
 
-    def _build(self):
-        ws = self.ws
+        def tail(i, n_layers, x, feats):
+            return [x.mean(axis=(1, 2))] if i == n_layers - 1 else feats
 
-        @jax.jit
-        def apply(x):
-            for w in ws:
-                x = jax.lax.conv_general_dilated(
-                    x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-                )
-                x = jax.nn.leaky_relu(x, 0.2)
-            return x.mean(axis=(1, 2))
+        self._call = _make_conv_stack(ws, tail)
 
-        return apply
+    @property
+    def cache_token(self) -> str:
+        return f"npz:{self.path}"
 
     def __call__(self, images_u8: np.ndarray) -> np.ndarray:
-        if self._apply is None:
-            self._apply = self._build()
-        x = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
-        return np.asarray(self._apply(x), np.float32)
+        return self._call(images_u8)
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +234,11 @@ def evaluate_generator(
         fake_feats.append(extractor(imgs))
     fake = np.concatenate(fake_feats, axis=0)
 
-    cache_key = ("real_features", id(dataset), id(extractor), seed, n_samples)
+    # stable key (NOT id(): default extractors are rebuilt per call and a
+    # recycled id could return features from a DIFFERENT extractor)
+    ex_token = getattr(extractor, "cache_token", repr(extractor))
+    ds_token = f"{type(dataset).__name__}:{len(dataset)}"
+    cache_key = ("real_features", ds_token, ex_token, seed, n_samples)
     real = cache.get(cache_key) if cache is not None else None
     if real is None:
         rng = np.random.default_rng(seed)

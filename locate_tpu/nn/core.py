@@ -52,6 +52,11 @@ def sequential(*layers: Layer) -> Layer:
         return [layer.init(k) for layer, k in zip(layers, keys)]
 
     def apply(params, x):
+        if len(params) != len(layers):
+            raise ValueError(
+                f"params list has {len(params)} entries for {len(layers)} "
+                f"layers (stale pytree from a different config?)"
+            )
         for layer, p in zip(layers, params):
             x = layer.apply(p, x)
         return x

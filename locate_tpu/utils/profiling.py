@@ -38,7 +38,9 @@ class StepTimer:
         self.batch_size = batch_size
         self.warmup = warmup
         self._count = 0
-        self._t0 = None
+        # warmup=0: no excluded steps — the clock starts immediately
+        # (tick()'s count==warmup trigger can never fire post-increment)
+        self._t0 = time.perf_counter() if warmup == 0 else None
         self._timed_steps = 0
 
     def tick(self, result=None):

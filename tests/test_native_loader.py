@@ -132,3 +132,15 @@ def test_producer_uses_fast_path(tmp_path):
     prod.close()
     assert b["image"].shape == (4, 16, 16, 3)
     assert calls["fast"] >= 1
+
+
+def test_upscale_stays_inside_crop(tmp_path):
+    """Upscaling a non-square image must not bleed pixels from outside the
+    center-crop window (clamp-to-crop regression)."""
+    arr = np.full((50, 100, 3), (255, 0, 0), np.uint8)   # red borders
+    arr[:, 25:75] = (0, 255, 0)                          # green crop window
+    p = tmp_path / "wide.png"
+    Image.fromarray(arr).save(p)
+    out = native.decode_batch([str(p)], 64)[0]
+    assert (out[..., 0] == 0).all(), "red bled into the upscaled crop"
+    assert (out[..., 1] == 255).all()
