@@ -2,15 +2,25 @@
 metric, BASELINE.json:2), run on whatever single chip jax provides (the
 driver runs this on real TPU hardware).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-`vs_baseline` divides by an ESTIMATED PyTorch-reference A100 throughput for
-this workload (BASELINE.md "Open items": the reference published no numbers
-and this offline environment has no GPU, so the denominator is an
-engineering estimate to be replaced by a measured value when the driver can
-run the reference on an A100). Estimate: a ~25M-param 128x128 conv+attention
-GAN pair in eager PyTorch on A100 trains at roughly 1.5-2.5k images/sec;
-we use 2000. The BASELINE target is vs_baseline >= 5.0 on a v5p chip.
+Honesty notes (self-described in the emitted JSON):
+  * `vs_baseline` divides by an ESTIMATED PyTorch-reference A100 throughput
+    (`denominator: "estimated"`). BASELINE.md "Open items": the reference
+    published no numbers and this offline environment has no GPU, so the
+    denominator is an engineering estimate (a ~25M-param 128x128
+    conv+attention GAN pair in eager PyTorch on A100 trains at roughly
+    1.5-2.5k images/sec; we use 2000) to be replaced by a measured value
+    when the driver can run the reference on an A100. The BASELINE target
+    is vs_baseline >= 5.0 on a v5p chip.
+  * `flops_per_step` comes from XLA's compiled cost analysis of the exact
+    step executable being timed; `mfu` divides by the chip's bf16 peak
+    (known chips tabled below; `null` when the device kind is unknown —
+    e.g. the emulated tunnel chip).
+  * default mode times DEVICE COMPUTE ONLY (one device-resident batch is
+    re-fed, matching the images/sec/chip metric definition); `e2e` mode
+    (`python bench.py 128 20 e2e`) feeds every step through the real host
+    input pipeline + device transfer and reports that number separately.
 """
 
 from __future__ import annotations
@@ -20,6 +30,31 @@ import sys
 import time
 
 A100_TORCH_IMAGES_PER_SEC_EST = 2000.0
+
+# bf16 dense peak FLOP/s per chip, used for MFU. Only chips we can
+# identify with confidence; anything else reports mfu=null.
+_PEAK_BF16_FLOPS = {
+    # jax device_kind -> peak bf16 FLOP/s
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def _flops_per_step(compiled) -> float | None:
+    """XLA compiled cost analysis -> total FLOPs for one step, or None."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+            cost = cost[0]
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -35,8 +70,10 @@ def main() -> None:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    use_pallas = "xla" not in sys.argv[3:]
-    fused = "fused" in sys.argv[3:]
+    modes = sys.argv[3:]
+    use_pallas = "xla" not in modes
+    fused = "fused" in modes
+    e2e = "e2e" in modes
     cfg = get_config(
         "lsun_bedroom_128",
         {
@@ -44,6 +81,11 @@ def main() -> None:
             "train.compute_dtype": "bfloat16",
             "use_pallas": "true" if use_pallas else "false",
             "train.fused_step": "true" if fused else "false",
+            # e2e mode exercises the host pipeline on the synthetic
+            # dataset (no image files are vendored in this environment);
+            # synthetic render cost is comparable to packed-shard reads.
+            "data.dataset": "synthetic",
+            "data.resolution": "128",
         },
     )
     cfg = dataclasses.replace(
@@ -52,6 +94,7 @@ def main() -> None:
     gan = build_gan(cfg)
     mesh = single_device_mesh(cfg.parallel)
 
+    pipeline = None
     with mesh:
         state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
         jit_step_for, shardings_for, b_shard = make_step_for(cfg, gan, mesh)
@@ -72,10 +115,27 @@ def main() -> None:
             "label": jax.device_put(host["label"], b_shard),
         }
 
+        # FLOPs from the exact compiled executable being timed
+        compiled = step.lower(state, dev_batch).compile()
+        flops = _flops_per_step(compiled)
+
+        if e2e:
+            from locate_tpu.data.pipeline import make_input_pipeline
+
+            pipeline = make_input_pipeline(
+                cfg.data, batch, sharding=b_shard, seed=0
+            )
+            batches = iter(pipeline)
+        else:
+            batches = None
+
+        def next_batch():
+            return next(batches) if e2e else dev_batch
+
         # compile + warmup (the tunneled emulated chip also ramps up over
         # the first ~10 steps)
         for _ in range(10):
-            state, metrics = step(state, dev_batch)
+            state, metrics = step(state, next_batch())
         jax.block_until_ready(metrics)
 
         # best of 3 windows: robust to transient device-throughput dips
@@ -83,21 +143,38 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(steps):
-                state, metrics = step(state, dev_batch)
+                state, metrics = step(state, next_batch())
             jax.block_until_ready(metrics)
             best_dt = min(best_dt, time.perf_counter() - t0)
 
+    if pipeline is not None:
+        pipeline.close()
+
     images_per_sec = steps * batch / best_dt
+    kind = jax.devices()[0].device_kind
+    peak = _PEAK_BF16_FLOPS.get(kind)
+    mfu = (
+        round(flops * (steps / best_dt) / peak, 4)
+        if (flops and peak)
+        else None
+    )
+    label = "e2e (host pipeline + transfer + step)" if e2e else "device step"
     print(
         json.dumps(
             {
-                "metric": "images/sec/chip @ 128x128 GAN train step (bf16, batch %d)"
-                % batch,
+                "metric": "images/sec/chip @ 128x128 GAN train step "
+                "(bf16, batch %d, %s)" % (batch, label),
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(
                     images_per_sec / A100_TORCH_IMAGES_PER_SEC_EST, 4
                 ),
+                "denominator": "estimated",  # see module docstring
+                "denominator_value": A100_TORCH_IMAGES_PER_SEC_EST,
+                "flops_per_step": flops,
+                "device_kind": kind,
+                "mfu": mfu,
+                "measures": "end_to_end" if e2e else "device_compute_only",
             }
         )
     )

@@ -37,6 +37,18 @@ def _split_args(argv: List[str]):
     return flags, parse_cli_overrides(overrides)
 
 
+def _str_flag(flags, key: str, default: Optional[str] = None) -> Optional[str]:
+    """A flag that requires a string value. A bare `--out` (or one whose
+    value was swallowed as a config override, e.g. `--out train.x=1`)
+    parses as True — reject it instead of stringifying to "True"."""
+    val = flags.get(key, default)
+    if val is True:
+        raise SystemExit(
+            f"--{key} requires a value (use --{key}=VALUE or --{key} VALUE)"
+        )
+    return val
+
+
 def cmd_train(argv: List[str]) -> int:
     from locate_tpu.parallel.distributed import initialize_from_env
     from locate_tpu.train.loop import train
@@ -76,25 +88,25 @@ def cmd_sample(argv: List[str]) -> int:
     cfg = get_config(preset, overrides)
     gan = build_gan(cfg)
     state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
-    ckpt_dir = str(flags.get("checkpoint") or cfg.workdir + "/checkpoints")
+    ckpt_dir = _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints"
     mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
     state = mgr.restore(state)
     g_params = state.ema_params if state.ema_params is not None else state.g_params
-    seed = int(flags.get("seed", 0))
+    seed = int(_str_flag(flags, "seed", "0"))
     key = jax.random.PRNGKey(seed)
     grid_cols = None
     if flags.get("interpolate"):
-        rows = int(flags.get("rows", 4))
-        grid_cols = int(flags.get("cols", 8))
+        rows = int(_str_flag(flags, "rows", "4"))
+        grid_cols = int(_str_flag(flags, "cols", "8"))
         imgs = interpolation_grid(gan, g_params, key, rows, grid_cols)
         count = rows * grid_cols
     else:
-        count = int(flags.get("count", 64))
+        count = int(_str_flag(flags, "count", "64"))
         imgs = generate_samples(
             gan, g_params, key, count,
-            truncation=float(flags.get("truncation", 0.0)),
+            truncation=float(_str_flag(flags, "truncation", "0.0")),
         )
-    out = str(flags.get("out") or f"{cfg.workdir}/samples/cli_step_{int(state.step)}.png")
+    out = _str_flag(flags, "out") or f"{cfg.workdir}/samples/cli_step_{int(state.step)}.png"
     save_image_grid(imgs, out, cols=grid_cols)
     print(f"[locate-tpu] wrote {count} samples (step {int(state.step)}) to {out}")
     mgr.close()
@@ -117,12 +129,12 @@ def cmd_export(argv: List[str]) -> int:
     gan = build_gan(cfg)
     state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
     mgr = CheckpointManager(
-        str(flags.get("checkpoint") or cfg.workdir + "/checkpoints"),
+        _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints",
         keep=cfg.train.keep_checkpoints,
     )
     state = mgr.restore(state)
     g_params = state.ema_params if state.ema_params is not None else state.g_params
-    out = str(flags.get("out") or f"{cfg.workdir}/export/generator_{int(state.step)}")
+    out = _str_flag(flags, "out") or f"{cfg.workdir}/export/generator_{int(state.step)}"
     path = export_generator(gan.config, g_params, out)
     print(f"[locate-tpu] exported generator (step {int(state.step)}) to {path}")
     mgr.close()
@@ -148,18 +160,19 @@ def cmd_eval(argv: List[str]) -> int:
     cfg = get_config(preset, overrides)
     gan = build_gan(cfg)
     state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
-    ckpt_dir = str(flags.get("checkpoint") or cfg.workdir + "/checkpoints")
+    ckpt_dir = _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints"
     mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
     state = mgr.restore(state)
     g_params = state.ema_params if state.ema_params is not None else state.g_params
+    extractor_path = _str_flag(flags, "extractor")
     extractor = (
-        NpzFeatureExtractor(str(flags["extractor"]))
-        if flags.get("extractor")
+        NpzFeatureExtractor(extractor_path)
+        if extractor_path
         else RandomConvFeatures()
     )
     result = evaluate_generator(
         gan, g_params, make_dataset(cfg.data),
-        n_samples=int(flags.get("samples", 1024)),
+        n_samples=int(_str_flag(flags, "samples", "1024")),
         extractor=extractor,
     )
     result["step"] = int(state.step)
@@ -181,7 +194,7 @@ def cmd_bench_input(argv: List[str]) -> int:
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
     cfg = get_config(preset, overrides)
-    batches = int(flags.get("batches", 20))
+    batches = int(_str_flag(flags, "batches", "20"))
     prod = BatchProducer(
         make_dataset(cfg.data), cfg.train.global_batch,
         random_flip=cfg.data.random_flip, seed=0,
@@ -209,7 +222,7 @@ def cmd_bench(argv: List[str]) -> int:
 
     forwarded = [
         a for a in argv
-        if a.isdigit() or a in ("xla", "fused")
+        if a.isdigit() or a in ("xla", "fused", "e2e")
     ]
     sys.argv = ["bench.py"] + forwarded
     bench.main()

@@ -106,7 +106,9 @@ def decode_batch(
         threads or default_threads(), ctypes.byref(bad),
     )
     if rc != 0:
-        raise IOError(f"native decode failed for {paths[bad.value]!r}")
+        # bad stays -1 if the library errored without attributing a file
+        which = repr(paths[bad.value]) if 0 <= bad.value < n else "unknown file"
+        raise IOError(f"native decode failed for {which}")
     return out
 
 

@@ -113,9 +113,13 @@ class BatchProducer:
                             # permanent fallback (no retry churn)
                             use_fast = False
                         # OSError (corrupt file): fall back for this batch
-                        # only — PIL may still decode it
+                        # only — PIL may still decode it. rng=None: example()
+                        # must NOT consume the stream RNG (the resume
+                        # fast-forward replays exactly one flip draw per
+                        # example; an extra draw here would silently break
+                        # deterministic resume).
                         for i, fl in zip(indices, flips):
-                            img, label = self.dataset.example(i, rng)
+                            img, label = self.dataset.example(i, None)
                             if fl:
                                 img = img[:, ::-1]
                             images.append(np.ascontiguousarray(img))
@@ -127,7 +131,9 @@ class BatchProducer:
                         images, labels = [], []
                     indices, flips = [], []
                 else:
-                    img, label = self.dataset.example(idx, rng)
+                    # rng=None: same invariant as above — the stream RNG is
+                    # consumed only by the flip decision, one draw/example.
+                    img, label = self.dataset.example(idx, None)
                     if flip:
                         img = img[:, ::-1]
                     images.append(np.ascontiguousarray(img))
@@ -146,7 +152,15 @@ class BatchProducer:
                     except queue.Full:
                         continue
         except Exception as e:  # surface worker errors to the consumer
-            self._queue.put({"__error__": e})  # type: ignore[dict-item]
+            # Same timeout-loop as the normal put path: if the consumer has
+            # already stopped draining, a blocking put would park this
+            # daemon thread forever holding the batch.
+            while not self._stop.is_set():
+                try:
+                    self._queue.put({"__error__": e}, timeout=0.5)  # type: ignore[dict-item]
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self) -> Iterator[Batch]:
         while True:

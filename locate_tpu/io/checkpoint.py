@@ -32,6 +32,10 @@ class CheckpointManager:
         )
 
     def save(self, state: TrainState, step: Optional[int] = None) -> None:
+        if self._async:
+            # Surface a failed background save at the NEXT checkpoint
+            # interval, not thousands of steps later at close().
+            self._mgr.check_for_errors()
         step = int(state.step) if step is None else int(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         if not self._async:

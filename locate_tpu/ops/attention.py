@@ -167,4 +167,13 @@ def locate_attention(
         )
 
     use_fused = use_pallas and cfg.residual
+    if use_pallas and not cfg.residual:
+        import warnings
+
+        warnings.warn(
+            "use_pallas requested but attention.residual=False: the fused "
+            "kernel only implements the residual form — falling back to "
+            "XLA (benchmarks of this config measure the XLA path)",
+            stacklevel=2,
+        )
     return Layer(init=init, apply=apply_pallas if use_fused else apply_xla)

@@ -73,7 +73,9 @@ def train(
             batch = next(batches)
             with trace_annotation("train_step"):
                 state, metrics = step_fn(state, batch)
-            timer.tick()
+            # tick(metrics) blocks until the step retires, so images_per_sec
+            # measures real device throughput, not dispatch rate.
+            timer.tick(metrics)
 
             step_num = step_idx + 1
             if step_num % cfg.train.log_every == 0 or step_num == total_steps:
