@@ -26,6 +26,7 @@ Honesty notes (self-described in the emitted JSON):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -81,13 +82,32 @@ def main() -> None:
             "train.compute_dtype": "bfloat16",
             "use_pallas": "true" if use_pallas else "false",
             "train.fused_step": "true" if fused else "false",
-            # e2e mode exercises the host pipeline on the synthetic
-            # dataset (no image files are vendored in this environment);
-            # synthetic render cost is comparable to packed-shard reads.
-            "data.dataset": "synthetic",
             "data.resolution": "128",
         },
     )
+    if e2e:
+        # e2e mode feeds the production input path: a packed (pre-decoded
+        # uint8 memmap) dataset, built once from the synthetic renderer
+        # (no image files are vendored in this environment). Steady-state
+        # cost = page-cache memcpy + flip + device transfer, exactly what
+        # a real packed LSUN/FFHQ run pays.
+        import tempfile
+
+        from locate_tpu.data.datasets import SyntheticImages
+        from locate_tpu.data.packed import pack_dataset
+
+        pack_dir = os.path.join(tempfile.gettempdir(), "ltpu_bench_pack_128")
+        if not os.path.exists(os.path.join(pack_dir, "meta.json")):
+            pack_dataset(
+                SyntheticImages(128, 3, length=max(4 * batch, 2048)),
+                pack_dir,
+            )
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data, dataset="packed", path=pack_dir
+            ),
+        )
     cfg = dataclasses.replace(
         cfg, parallel=dataclasses.replace(cfg.parallel, data_parallel=1)
     )
@@ -158,6 +178,12 @@ def main() -> None:
         if (flops and peak)
         else None
     )
+    mfu_note = None
+    if mfu is not None and mfu > 1.0:
+        # A >100% MFU means the device does not honor the advertised peak
+        # of its device_kind (e.g. the axon-emulated chip is backed by
+        # faster hardware). The FLOP rate is still real; the ratio is not.
+        mfu_note = "mfu>1: device faster than %s nominal peak (emulated?)" % kind
     label = "e2e (host pipeline + transfer + step)" if e2e else "device step"
     print(
         json.dumps(
@@ -173,7 +199,9 @@ def main() -> None:
                 "denominator_value": A100_TORCH_IMAGES_PER_SEC_EST,
                 "flops_per_step": flops,
                 "device_kind": kind,
+                "peak_bf16_flops_assumed": peak,
                 "mfu": mfu,
+                **({"mfu_note": mfu_note} if mfu_note else {}),
                 "measures": "end_to_end" if e2e else "device_compute_only",
             }
         )

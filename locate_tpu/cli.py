@@ -181,6 +181,35 @@ def cmd_eval(argv: List[str]) -> int:
     return 0
 
 
+def cmd_pack(argv: List[str]) -> int:
+    """One-time offline pack of the config's dataset into pre-decoded,
+    pre-resized uint8 memmap shards (`--out DIR`, `--shard-size N`).
+    Training then uses `data.dataset=packed data.path=DIR` and the host
+    input path is pure page-cache memcpy (no per-epoch decode)."""
+    from locate_tpu.data.datasets import make_dataset
+    from locate_tpu.data.packed import pack_dataset
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    src = make_dataset(cfg.data)
+    out = _str_flag(flags, "out") or (
+        (cfg.data.path.rstrip("/") or cfg.workdir)
+        + f"_packed{cfg.data.resolution}"
+    )
+    path = pack_dataset(
+        src, out,
+        shard_size=int(_str_flag(flags, "shard-size", "4096")),
+        batch_size=int(_str_flag(flags, "batch", "64")),
+        progress=True,
+    )
+    print(
+        f"[locate-tpu] packed {len(src)} examples @ {cfg.data.resolution}px "
+        f"to {path} — train with data.dataset=packed data.path={path}"
+    )
+    return 0
+
+
 def cmd_bench_input(argv: List[str]) -> int:
     """Host input-pipeline throughput (images/sec, no device): measures
     the producer thread incl. native decode (SURVEY.md hard part #4 —
@@ -234,6 +263,7 @@ COMMANDS = {
     "sample": cmd_sample,
     "eval": cmd_eval,
     "export": cmd_export,
+    "pack": cmd_pack,
     "bench": cmd_bench,
     "bench-input": cmd_bench_input,
 }

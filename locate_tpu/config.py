@@ -131,7 +131,7 @@ class ModelConfig:
 class DataConfig:
     """Host input pipeline (SURVEY.md §4.5)."""
 
-    dataset: str = "synthetic"  # {"synthetic", "folder", "cifar10"}
+    dataset: str = "synthetic"  # {"synthetic", "folder", "cifar10", "packed"}
     path: str = ""
     resolution: int = 32
     img_channels: int = 3

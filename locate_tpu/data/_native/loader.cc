@@ -270,6 +270,43 @@ int ltpu_resize_batch(const uint8_t* src, int n, int h, int w, int res,
   return 0;
 }
 
-int ltpu_version() { return 1; }
+// In-place horizontal flip of selected images in a collated uint8 RGB batch
+// (n, h, w, 3). flips[i] != 0 selects image i. Pixel swap from both row
+// ends — numpy's negative-stride itemsize-3 copy measured ~6ms for 64
+// flips @128^2 on this host; this loop is memory-bound instead.
+int ltpu_flip_horizontal(uint8_t* data, long n, int h, int w,
+                         const uint8_t* flips, int threads) {
+  std::atomic<long> next(0);
+  const size_t img_sz = size_t(h) * w * 3;
+  auto work = [&]() {
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= n) return;
+      if (!flips[i]) continue;
+      uint8_t* img = data + size_t(i) * img_sz;
+      for (int y = 0; y < h; ++y) {
+        uint8_t* row = img + size_t(y) * w * 3;
+        for (int a = 0, b = w - 1; a < b; ++a, --b) {
+          uint8_t* pa = row + a * 3;
+          uint8_t* pb = row + b * 3;
+          for (int c = 0; c < 3; ++c) {
+            uint8_t t = pa[c];
+            pa[c] = pb[c];
+            pb[c] = t;
+          }
+        }
+      }
+    }
+  };
+  int k = threads > 0 ? threads : 1;
+  if (k > n) k = int(n);
+  std::vector<std::thread> pool;
+  pool.reserve(k);
+  for (int t = 0; t < k; ++t) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
+int ltpu_version() { return 2; }
 
 }  // extern "C"

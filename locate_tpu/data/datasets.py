@@ -250,4 +250,15 @@ def make_dataset(cfg) -> object:
             return SyntheticImages(32, 3, num_classes=cfg.num_classes or 10)
     if cfg.dataset == "folder":
         return ImageFolder(cfg.path, cfg.resolution, cfg.img_channels)
+    if cfg.dataset == "packed":
+        from locate_tpu.data.packed import PackedDataset
+
+        ds = PackedDataset(cfg.path)
+        if ds.resolution != cfg.resolution:
+            raise ValueError(
+                f"packed dataset at {cfg.path!r} is {ds.resolution}px but "
+                f"data.resolution={cfg.resolution} — re-pack at the training "
+                f"resolution (packed shards are never resized at load time)"
+            )
+        return ds
     raise ValueError(f"unknown dataset {cfg.dataset!r}")

@@ -51,8 +51,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
+    lib.ltpu_flip_horizontal.restype = ctypes.c_int
+    lib.ltpu_flip_horizontal.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
     lib.ltpu_version.restype = ctypes.c_int
-    if lib.ltpu_version() != 1:
+    if lib.ltpu_version() != 2:
         # not assert: must survive python -O, else a stale .so with a
         # changed ABI would be called with mismatched signatures
         raise RuntimeError(f"native loader ABI mismatch: {lib.ltpu_version()}")
@@ -110,6 +115,28 @@ def decode_batch(
         which = repr(paths[bad.value]) if 0 <= bad.value < n else "unknown file"
         raise IOError(f"native decode failed for {which}")
     return out
+
+
+def hflip_inplace(
+    images: np.ndarray, flips: Sequence[bool], threads: int = 0
+) -> bool:
+    """In-place horizontal flip of `images[i]` where `flips[i]` — returns
+    False (no-op) when the native lib is unavailable so callers can fall
+    back to numpy."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert images.dtype == np.uint8 and images.ndim == 4 and images.flags.c_contiguous
+    n, h, w, c = images.shape
+    assert c == 3, "native flip is RGB-only"
+    flips_arr = np.ascontiguousarray(np.asarray(flips, np.uint8))
+    lib.ltpu_flip_horizontal(
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w,
+        flips_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads or default_threads(),
+    )
+    return True
 
 
 def resize_batch(

@@ -64,7 +64,17 @@ class BatchProducer:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def _index_stream(self):
+    def _epoch_stream(self):
+        """Per epoch: (indices, flips) arrays for the non-skipped tail.
+
+        RNG discipline (the resume invariant): per epoch, the permutation is
+        drawn first, then — when random_flip — exactly ONE uniform draw per
+        iterated example, in stream order, vectorized (`Generator.random(n)`
+        consumes the bit stream identically to n scalar draws). Skipped
+        examples consume their draw but are not yielded; entirely-skipped
+        epochs consume nothing (matching the original scalar stream).
+        `example()`/`batch_fast()` must never consume this RNG.
+        """
         epoch = 0
         n = len(self.dataset)
         to_skip = self.skip_examples
@@ -74,83 +84,68 @@ class BatchProducer:
             )
             perm = rng.permutation(n)
             shard = perm[self.shard_index :: self.shard_count]
+            epoch += 1
             if to_skip >= len(shard):
                 to_skip -= len(shard)
-                epoch += 1
                 continue
-            for pos, idx in enumerate(shard):
-                if pos < to_skip:
-                    # keep the per-example rng stream aligned with the
-                    # un-skipped run (flip decision consumes one draw)
-                    if self.random_flip:
-                        rng.random()
-                    continue
-                yield int(idx), rng
+            if self.random_flip:
+                flips = rng.random(len(shard)) < 0.5
+            else:
+                flips = np.zeros(len(shard), bool)
+            yield shard[to_skip:], flips[to_skip:]
             to_skip = 0
-            epoch += 1
+
+    def _assemble(self, indices, flips) -> Batch:
+        if self._use_fast:
+            try:
+                imgs, labs = self.dataset.batch_fast(indices, flips)
+                return {"image": imgs, "label": labs}
+            except RuntimeError:
+                # fast path structurally unavailable: permanent fallback
+                self._use_fast = False
+            except OSError:
+                # corrupt file: fall back for this batch only — PIL may
+                # still decode it
+                pass
+        # rng is never passed to example(): the stream RNG is consumed only
+        # by the flip decision, one draw per example (resume invariant).
+        images, labels = [], []
+        for i, fl in zip(indices, flips):
+            img, label = self.dataset.example(int(i), None)
+            if fl:
+                img = img[:, ::-1]
+            images.append(np.ascontiguousarray(img))
+            labels.append(label)
+        return {
+            "image": np.stack(images),
+            "label": np.asarray(labels, np.int32),
+        }
 
     def _run(self):
-        stream = self._index_stream()
-        use_fast = hasattr(self.dataset, "batch_fast")
-        indices, flips = [], []
-        images, labels = [], []
+        self._use_fast = hasattr(self.dataset, "batch_fast")
+        bs = self.batch_size
+        buf_idx: list = []
+        buf_flip: list = []
         try:
-            for idx, rng in stream:
-                if self._stop.is_set():
-                    return
-                flip = bool(self.random_flip and rng.random() < 0.5)
-                if use_fast:
-                    indices.append(idx)
-                    flips.append(flip)
-                    if len(indices) < self.batch_size:
-                        continue
-                    try:
-                        imgs, labs = self.dataset.batch_fast(indices, flips)
-                        batch = {"image": imgs, "label": labs}
-                    except (RuntimeError, OSError) as e:
-                        if isinstance(e, RuntimeError):
-                            # fast path structurally unavailable:
-                            # permanent fallback (no retry churn)
-                            use_fast = False
-                        # OSError (corrupt file): fall back for this batch
-                        # only — PIL may still decode it. rng=None: example()
-                        # must NOT consume the stream RNG (the resume
-                        # fast-forward replays exactly one flip draw per
-                        # example; an extra draw here would silently break
-                        # deterministic resume).
-                        for i, fl in zip(indices, flips):
-                            img, label = self.dataset.example(i, None)
-                            if fl:
-                                img = img[:, ::-1]
-                            images.append(np.ascontiguousarray(img))
-                            labels.append(label)
-                        batch = {
-                            "image": np.stack(images),
-                            "label": np.asarray(labels, np.int32),
-                        }
-                        images, labels = [], []
-                    indices, flips = [], []
-                else:
-                    # rng=None: same invariant as above — the stream RNG is
-                    # consumed only by the flip decision, one draw/example.
-                    img, label = self.dataset.example(idx, None)
-                    if flip:
-                        img = img[:, ::-1]
-                    images.append(np.ascontiguousarray(img))
-                    labels.append(label)
-                    if len(images) < self.batch_size:
-                        continue
-                    batch = {
-                        "image": np.stack(images),
-                        "label": np.asarray(labels, np.int32),
-                    }
-                    images, labels = [], []
-                while not self._stop.is_set():
-                    try:
-                        self._queue.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+            for idxs, flips in self._epoch_stream():
+                pos = 0
+                while pos < len(idxs):
+                    if self._stop.is_set():
+                        return
+                    take = min(bs - len(buf_idx), len(idxs) - pos)
+                    buf_idx.extend(idxs[pos : pos + take])
+                    buf_flip.extend(flips[pos : pos + take])
+                    pos += take
+                    if len(buf_idx) < bs:
+                        break  # epoch exhausted; continue filling next epoch
+                    batch = self._assemble(buf_idx, buf_flip)
+                    buf_idx, buf_flip = [], []
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
         except Exception as e:  # surface worker errors to the consumer
             # Same timeout-loop as the normal put path: if the consumer has
             # already stopped draining, a blocking put would park this
