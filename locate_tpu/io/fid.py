@@ -167,25 +167,42 @@ class RandomConvFeatures:
 
 
 class NpzFeatureExtractor:
-    """Feature net from vendored weights: an .npz of HWIO conv kernels
-    named w0..wK (stride 2 each) applied like RandomConvFeatures, with
-    global mean pooling of the final stage. Lets a driver-supplied
-    (Inception-distilled or otherwise) extractor slot in without code
-    changes."""
+    """Feature net from vendored weights — the `--extractor=PATH.npz` slot.
+
+    Dispatches on the archive's `format` field:
+
+      * `locate-tpu-inception-v3/v1` (scripts/convert_inception.py output):
+        the full InceptionV3 pool3 graph with the standard FID protocol
+        (io/inception.py) — TRUE FID the moment weights are vendored.
+      * otherwise (legacy): an .npz of HWIO conv kernels named w0..wK
+        (stride 2 each) applied like RandomConvFeatures with global mean
+        pooling of the final stage.
+    """
 
     def __init__(self, path: str):
         self.path = path
         data = np.load(path)
+        if "format" in data.files:
+            from locate_tpu.io.inception import FORMAT, InceptionExtractor
+
+            fmt = str(data["format"])
+            if fmt != FORMAT:
+                raise ValueError(f"unknown extractor format {fmt!r} in {path!r}")
+            self._inner = InceptionExtractor(path)
+            self._call = self._inner
+            self._token = self._inner.cache_token
+            return
         ws = [jnp.asarray(data[f"w{i}"]) for i in range(len(data.files))]
 
         def tail(i, n_layers, x, feats):
             return [x.mean(axis=(1, 2))] if i == n_layers - 1 else feats
 
         self._call = _make_conv_stack(ws, tail)
+        self._token = f"npz:{self.path}"
 
     @property
     def cache_token(self) -> str:
-        return f"npz:{self.path}"
+        return self._token
 
     def __call__(self, images_u8: np.ndarray) -> np.ndarray:
         return self._call(images_u8)
