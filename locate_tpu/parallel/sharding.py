@@ -108,7 +108,10 @@ def make_shardmap_train_step(
     pcfg = cfg.parallel
     if mesh.shape[pcfg.model_axis] != 1:
         raise ValueError("shard_map step is DP-only (model_parallel must be 1)")
-    step_fn = make_train_step(cfg, gan, axis_name=pcfg.data_axis)
+    step_fn = make_train_step(
+        cfg, gan, axis_name=pcfg.data_axis,
+        axis_size=mesh.shape[pcfg.data_axis],
+    )
     b_sharding = batch_sharding(mesh, pcfg.data_axis)
     rep = replicated(mesh)
 

@@ -43,12 +43,13 @@ Metrics = Dict[str, jax.Array]
 
 
 def make_train_step(
-    cfg: Config, gan: GAN, axis_name: Optional[str] = None
+    cfg: Config, gan: GAN, axis_name: Optional[str] = None,
+    axis_size: int = 1,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Metrics]]:
     """Build the (unjitted) train step. If `axis_name` is set the step is
-    meant to run under `shard_map` over that mesh axis and psum-reduces
-    gradients/metrics across it (SURVEY.md §3.3); under GSPMD jit
-    (the default path) leave it None."""
+    meant to run under `shard_map` over that mesh axis (of static size
+    `axis_size`) and psum-reduces gradients/metrics across it
+    (SURVEY.md §3.3); under GSPMD jit (the default path) leave it None."""
     g_opt, d_opt = make_optimizers(cfg.train)
     g_loss_of, d_loss_of = get_losses(cfg.train.loss)
     tcfg = cfg.train
@@ -71,6 +72,27 @@ def make_train_step(
         if axis_name is None:
             return tree
         return jax.lax.pmean(tree, axis_name)
+
+    # Latent/label sampling under shard_map: every replica draws the SAME
+    # global batch (the key is replicated) and slices its own rows, making
+    # the shard_map trajectory bit-equivalent to the GSPMD global program
+    # (up to psum reduction order) — the same z stream regardless of mesh.
+    # The draw is O(global_batch x latent_dim), trivially cheap next to a
+    # conv forward.
+    if axis_name is None:
+        sample_latents, sample_labels = gan.sample_latents, gan.sample_labels
+    else:
+
+        def _local_rows(arr, n_local):
+            i = jax.lax.axis_index(axis_name)
+            return jax.lax.dynamic_slice_in_dim(arr, i * n_local, n_local, 0)
+
+        def sample_latents(key, n):
+            return _local_rows(gan.sample_latents(key, n * axis_size), n)
+
+        def sample_labels(key, n):
+            lab = gan.sample_labels(key, n * axis_size)
+            return None if lab is None else _local_rows(lab, n)
 
     def d_loss_with_aux(d_params, real, labels, fake, fake_labels, step):
         real_logits = gan.discriminator.apply(d_params, real, labels)
@@ -160,14 +182,10 @@ def make_train_step(
             real = real.astype(jnp.float32) / 127.5 - 1.0
         real = real.astype(gan.compute_dtype)
         labels = batch.get("label") if conditional else None
-        rng = state.rng
-        if axis_name is not None:
-            # Per-replica latent/label keys; `new_rng` stays identical
-            # across replicas (split from the un-folded key), keeping the
-            # replicated TrainState bitwise-consistent.
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        # rng is replicated; latents stay mesh-invariant because sampling
+        # draws the global batch and slices local rows (see above).
         new_rng = jax.random.split(state.rng, 1)[0]
-        return real, labels, rng, new_rng
+        return real, labels, state.rng, new_rng
 
     # ---- alternating step (reference semantics) ------------------------
 
@@ -180,8 +198,8 @@ def make_train_step(
             # D-step fake forward and XLA CSE computes it once.
             k_zg, k_lg = k_zd, k_ld
 
-        z_d = gan.sample_latents(k_zd, n)
-        fake_labels_d = gan.sample_labels(k_ld, n)
+        z_d = sample_latents(k_zd, n)
+        fake_labels_d = sample_labels(k_ld, n)
         fake_d = jax.lax.stop_gradient(
             gan.generator.apply(state.g_params, z_d, fake_labels_d)
         )
@@ -194,8 +212,8 @@ def make_train_step(
         )
         d_params, d_opt_state, d_grads = d_update(state, d_grads)
 
-        z_g = gan.sample_latents(k_zg, n)
-        fake_labels_g = gan.sample_labels(k_lg, n)
+        z_g = sample_latents(k_zg, n)
+        fake_labels_g = sample_labels(k_lg, n)
 
         def g_loss_fn(g_params):
             # through the *updated* D: alternating semantics
@@ -212,8 +230,8 @@ def make_train_step(
         real, labels, rng, new_rng = prepare(state, batch)
         n = real.shape[0]
         _, k_z, k_l = jax.random.split(rng, 3)
-        z = gan.sample_latents(k_z, n)
-        fake_labels = gan.sample_labels(k_l, n)
+        z = sample_latents(k_z, n)
+        fake_labels = sample_labels(k_l, n)
 
         def d_loss_fn(d_params):
             fake = jax.lax.stop_gradient(
