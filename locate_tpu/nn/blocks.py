@@ -74,6 +74,117 @@ def conv_block(
     return Layer(init=init, apply=apply)
 
 
+# ---------------------------------------------------------------------------
+# fused stage-group path (BASELINE: "conv + attention + norm + activation
+# ... in a single pass"; ops/pallas/fused_stage.py)
+# ---------------------------------------------------------------------------
+
+# Measured never-slower gate (VERDICT r2 task 4; chained microbench table
+# in docs/DESIGN.md): the stage-group kernel beats XLA only in the
+# huge-spatial HBM-bound regime (1.33-1.40x at 512^2) and is parity-to-
+# slightly-slower below (0.86-1.01 at 64^2-256^2, where XLA's conv is
+# MXU-bound and already optimal). Fuse the conv+attention pair only at
+# >= 512^2 locations — exactly where BASELINE config 5 prescribes "fused
+# attention-conv Pallas blocks"; below, the stage keeps XLA convs + the
+# standalone fused attention kernel (1.2-1.5x, round 1).
+FUSE_MIN_LOCATIONS = 512 * 512
+
+
+def stage_fusable(cfg: ModelConfig) -> bool:
+    """Whether the Pallas stage-group kernel implements this config's conv
+    block: factorized 3x3, group norm, one of the kernel's activations."""
+    return (
+        cfg.use_pallas
+        and cfg.factorized
+        and cfg.kernel_size == 3
+        and cfg.norm == "group"
+        and cfg.act in ("leaky_relu", "relu", "silu", "gelu")
+    )
+
+
+def _apply_fused_stage(cfg: ModelConfig, in_ch, out_ch, compute_dtype,
+                       conv_params, attn_params, x):
+    """Unpack the (unfused-layout) params and call the fused kernel.
+    `attn_params=None` -> conv block only."""
+    import jax as _jax
+
+    from locate_tpu.ops.attention import coord_features
+    from locate_tpu.ops.norm import effective_groups
+    from locate_tpu.ops.pallas.fused_stage import fused_stage
+
+    norm_p, _, conv_p = conv_params["main"]
+    cd = compute_dtype or x.dtype
+    kw = dict(
+        gn_scale=norm_p["scale"],
+        gn_bias=norm_p["bias"],
+        w_row=conv_p["row"]["w"],
+        w_col=conv_p["col"]["w"],
+        b_col=conv_p["col"]["b"],
+        w_skip=conv_params["skip"]["w"] if in_ch != out_ch else None,
+        groups=effective_groups(in_ch, cfg.group_norm_groups),
+        act=cfg.act,
+        leaky_slope=cfg.leaky_slope,
+        interpret=_jax.default_backend() == "cpu",
+    )
+    if attn_params is not None:
+        acfg = cfg.attention
+        w1 = attn_params["to_hidden"]["w"][0, 0]       # (Co+P, Hd)
+        w1x, w1p = w1[:out_ch], w1[out_ch:]
+        _, h, w, _ = x.shape
+        if acfg.pos_features:
+            pos = coord_features(h, w, acfg.pos_features, jnp.float32)
+            pos_proj = pos.reshape(h * w, acfg.pos_features) @ w1p.astype(
+                jnp.float32
+            )
+        else:
+            pos_proj = None
+        kw.update(
+            mode=acfg.mode,
+            pos_proj=pos_proj,
+            w1x=w1x,
+            b1=attn_params["to_hidden"]["b"],
+            w2=attn_params["to_logits"]["w"][0, 0],
+            b2=attn_params["to_logits"]["b"],
+        )
+    return fused_stage(x.astype(cd), **kw)
+
+
+def _maybe_fused_stage(layers, kinds, cfg: ModelConfig, compute_dtype) -> Layer:
+    """Stage layer: same init/pytree as `sequential(*layers)` (the CLAUDE.md
+    invariant — use_pallas changes apply paths only), but the apply runs
+    each conv block — and the final conv-block+attention pair — through the
+    fused stage kernel when the config and shape are eligible."""
+    seq = sequential(*layers)
+    if not stage_fusable(cfg):
+        return seq
+
+    def apply(params, x):
+        i = 0
+        while i < len(layers):
+            kind = kinds[i]
+            # conv-only fusion measured <= 1.02x everywhere: only the
+            # conv+attention PAIR is fused, and only at huge spatial sizes
+            fuse_pair = (
+                kind[0] == "conv"
+                and x.shape[1] * x.shape[2] >= FUSE_MIN_LOCATIONS
+                and i + 1 < len(layers)
+                and kinds[i + 1][0] == "attn"
+                and cfg.attention.residual
+            )
+            if fuse_pair:
+                _, cin, cout = kind
+                x = _apply_fused_stage(
+                    cfg, cin, cout, compute_dtype, params[i], params[i + 1], x
+                )
+                i += 2
+            else:
+                x = layers[i].apply(params[i], x)
+                i += 1
+        return x
+
+    return Layer(init=seq.init, apply=apply)
+
+
 def generator_stage(
     in_ch: int,
     out_ch: int,
@@ -84,12 +195,15 @@ def generator_stage(
 ) -> Layer:
     """One generator resolution stage: [upsample] + conv blocks + attention
     (SURVEY.md §4.2). `resolution` is the stage's output resolution."""
-    layers = []
+    layers, kinds = [], []
     if not first:
         layers.append(upsample_nearest(2))
+        kinds.append(("other",))
     layers.append(conv_block(in_ch, out_ch, cfg, compute_dtype))
+    kinds.append(("conv", in_ch, out_ch))
     for _ in range(cfg.blocks_per_stage - 1):
         layers.append(conv_block(out_ch, out_ch, cfg, compute_dtype))
+        kinds.append(("conv", out_ch, out_ch))
     if cfg.attention_at(resolution):
         layers.append(
             locate_attention(
@@ -97,7 +211,8 @@ def generator_stage(
                 use_pallas=cfg.use_pallas,
             )
         )
-    return sequential(*layers)
+        kinds.append(("attn",))
+    return _maybe_fused_stage(layers, kinds, cfg, compute_dtype)
 
 
 def discriminator_stage(
@@ -112,8 +227,10 @@ def discriminator_stage(
     (SURVEY.md §4.2): conv blocks + attention + [downsample]. `resolution`
     is the stage's input resolution."""
     layers = [conv_block(in_ch, out_ch, cfg, compute_dtype)]
+    kinds = [("conv", in_ch, out_ch)]
     for _ in range(cfg.blocks_per_stage - 1):
         layers.append(conv_block(out_ch, out_ch, cfg, compute_dtype))
+        kinds.append(("conv", out_ch, out_ch))
     if cfg.attention_at(resolution):
         layers.append(
             locate_attention(
@@ -121,9 +238,11 @@ def discriminator_stage(
                 use_pallas=cfg.use_pallas,
             )
         )
+        kinds.append(("attn",))
     if not last:
         layers.append(downsample_avg(2))
-    return sequential(*layers)
+        kinds.append(("other",))
+    return _maybe_fused_stage(layers, kinds, cfg, compute_dtype)
 
 
 def to_rgb(in_ch: int, img_channels: int, compute_dtype=None) -> Layer:

@@ -166,6 +166,22 @@ def locate_attention(
             interpret=interpret,
         )
 
+    def fused_profitable(hw: int) -> bool:
+        """Measured never-slower gate (VERDICT r2 task 4; chained
+        microbench table in docs/DESIGN.md): softmax mode beats XLA across
+        the shape ladder (1.0-5.7x); sigmoid mode only wins at small
+        spatial extents (1.3-1.8x at <= 16^2, 0.5-0.8x above, where the
+        launch overhead of its single cheap pass dominates)."""
+        if cfg.mode == "softmax":
+            return True
+        return hw <= 256
+
+    def apply_dispatch(params, x):
+        n, h, w, _ = x.shape
+        if fused_profitable(h * w):
+            return apply_pallas(params, x)
+        return apply_xla(params, x)
+
     use_fused = use_pallas and cfg.residual
     if use_pallas and not cfg.residual:
         import warnings
@@ -176,4 +192,4 @@ def locate_attention(
             "XLA (benchmarks of this config measure the XLA path)",
             stacklevel=2,
         )
-    return Layer(init=init, apply=apply_pallas if use_fused else apply_xla)
+    return Layer(init=init, apply=apply_dispatch if use_fused else apply_xla)

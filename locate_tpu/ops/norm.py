@@ -17,12 +17,19 @@ import jax.numpy as jnp
 from locate_tpu.nn.core import Layer
 
 
-def group_norm(channels: int, groups: int = 8, eps: float = 1e-5,
-               compute_dtype: Optional[jnp.dtype] = None) -> Layer:
-    """GroupNorm over (H, W, C//G) per group, learned per-channel scale/bias."""
+def effective_groups(channels: int, groups: int) -> int:
+    """The group count group_norm actually uses: clipped to `channels` and
+    reduced to the nearest divisor (shared with the fused stage kernel)."""
     groups_ = min(groups, channels)
     while channels % groups_ != 0:
         groups_ -= 1
+    return groups_
+
+
+def group_norm(channels: int, groups: int = 8, eps: float = 1e-5,
+               compute_dtype: Optional[jnp.dtype] = None) -> Layer:
+    """GroupNorm over (H, W, C//G) per group, learned per-channel scale/bias."""
+    groups_ = effective_groups(channels, groups)
 
     def init(key):
         return {

@@ -1,0 +1,88 @@
+"""Training-dynamics sweep (VERDICT r2 task 7): find preset defaults that
+do NOT D-collapse over a long horizon.
+
+Runs the 64^2 config on the synthetic set (no real datasets or Inception
+weights are vendored in this environment — BASELINE.md "Open items" — so
+rFID on the synthetic set is the available long-horizon signal; the same
+sweep re-runs unchanged on real data + true FID once the driver vendors
+them) for `steps` steps per arm, logging rFID every `eval_every`.
+
+    python scripts/sweep_dynamics.py [steps] [arm ...]
+
+Writes one JSON line per arm to stdout.
+"""
+
+import dataclasses
+import json
+import sys
+
+from locate_tpu.config import get_config
+
+ARMS = {
+    # r1 gamma x lazy interval; beta1; two-timescale (slow G) variants
+    "base": {},
+    "r1_01": {"train.r1_gamma": "0.1"},
+    "r1_1": {"train.r1_gamma": "1.0"},
+    "beta05": {"train.g_opt.beta1": "0.5", "train.d_opt.beta1": "0.5"},
+    "r1_01_beta05": {
+        "train.r1_gamma": "0.1",
+        "train.g_opt.beta1": "0.5",
+        "train.d_opt.beta1": "0.5",
+    },
+    "ttur": {  # two-timescale: D faster than G (TTUR)
+        "train.d_opt.lr": "4e-4",
+        "train.g_opt.lr": "1e-4",
+    },
+    "r1_01_ttur": {
+        "train.r1_gamma": "0.1",
+        "train.d_opt.lr": "4e-4",
+        "train.g_opt.lr": "1e-4",
+    },
+}
+
+
+def run_arm(name: str, overrides: dict, steps: int, eval_every: int) -> dict:
+    from locate_tpu.train.loop import train
+
+    o = {
+        "data.dataset": "synthetic",
+        "train.global_batch": "64",
+        "train.compute_dtype": "bfloat16",
+        "train.log_every": str(eval_every),
+        "train.sample_every": "0",
+        "train.checkpoint_every": "0",
+        "train.eval_every": str(eval_every),
+        "train.eval_samples": "512",
+        "train.tensorboard": "false",
+    }
+    o.update(overrides)
+    cfg = get_config("celeba_64", o)
+    cfg = dataclasses.replace(cfg, workdir=f"/tmp/sweep_{name}")
+    curve = []
+    hooks = {"on_eval": lambda step, s: curve.append((step, round(s["fid"], 2)))}
+    try:
+        train(cfg, total_steps=steps, hooks=hooks, resume=False)
+        status = "ok"
+    except RuntimeError as e:  # non-finite abort
+        status = f"aborted: {e}"
+    fids = [f for _, f in curve]
+    return {
+        "arm": name,
+        "status": status,
+        "best_rfid": min(fids) if fids else None,
+        "final_rfid": fids[-1] if fids else None,
+        "curve": curve,
+    }
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    arms = sys.argv[2:] or list(ARMS)
+    eval_every = max(250, steps // 10)
+    for name in arms:
+        result = run_arm(name, ARMS[name], steps, eval_every)
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

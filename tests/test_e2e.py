@@ -31,3 +31,32 @@ def test_train_loop_end_to_end(tiny_config, tmp_path):
     # resume: continue to step 6 from the saved checkpoint
     state2 = train(cfg, total_steps=6)
     assert int(state2.step) == 6
+
+
+def test_training_improves_rfid(tiny_config, tmp_path):
+    """SURVEY.md §5 item 4's direction assertion (VERDICT r1 weak #6):
+    over a few hundred tiny-config steps the generator's rFID against the
+    synthetic set must improve substantially from its init value. rFID is
+    a relative metric (same extractor + data), so the trend — not the
+    absolute value — is the contract."""
+    cfg = dataclasses.replace(
+        tiny_config,
+        workdir=str(tmp_path / "trend"),
+        train=dataclasses.replace(
+            tiny_config.train,
+            log_every=100,
+            sample_every=0,
+            checkpoint_every=0,
+            eval_every=40,   # first eval near init, so the window is wide
+            eval_samples=192,
+        ),
+    )
+    scores = []
+    hooks = {"on_eval": lambda step, s: scores.append((step, s["fid"]))}
+    train(cfg, total_steps=400, hooks=hooks)
+    assert len(scores) == 10, scores
+    first, last = scores[0][1], min(s for _, s in scores[-3:])
+    assert np.isfinite(first) and np.isfinite(last)
+    # deterministic seed: observed ~68 @40 -> ~52 @400; gate loosely so
+    # numerical drift doesn't flake the suite
+    assert last < 0.85 * first, f"rFID did not improve: {first} -> {last}"

@@ -1,0 +1,233 @@
+"""Fused stage-group kernel vs the XLA layer composition (SURVEY.md §5
+item 2; BASELINE's "conv + attention + norm + activation in a single
+pass"). use_pallas must not change init/pytree structure (CLAUDE.md), so
+the same params drive both paths; interpret mode runs the identical kernel
+logic on CPU."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from locate_tpu.config import AttentionConfig, ModelConfig
+from locate_tpu.nn import blocks
+from locate_tpu.nn.blocks import (
+    discriminator_stage,
+    generator_stage,
+    stage_fusable,
+)
+
+
+@pytest.fixture(autouse=True)
+def _force_fusion(monkeypatch):
+    """The production never-slower gate fuses only at >= 512^2 locations
+    (docs/DESIGN.md table); tests drop it so the kernel runs at test sizes.
+    test_gate_respects_threshold restores the default to pin the gate."""
+    monkeypatch.setattr(blocks, "FUSE_MIN_LOCATIONS", 0)
+
+
+def _model_cfg(mode="sigmoid", **kw):
+    base = dict(
+        resolution=16,
+        base_channels=32,
+        max_channels=32,
+        min_channels=16,
+        attention=AttentionConfig(pos_features=4, bottleneck=2, mode=mode),
+        use_pallas=True,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _pair(cfg, build, *args):
+    """(fused_layer, oracle_layer) with identical params."""
+    fused = build(*args, cfg, True)
+    oracle = build(
+        *args, dataclasses.replace(cfg, use_pallas=False), True
+    )
+    return fused, oracle
+
+
+def _gen_pair(cfg, in_ch, out_ch, res):
+    f = generator_stage(in_ch, out_ch, res, cfg, first=False)
+    o = generator_stage(
+        in_ch, out_ch, res, dataclasses.replace(cfg, use_pallas=False),
+        first=False,
+    )
+    return f, o
+
+
+def _disc_pair(cfg, in_ch, out_ch, res):
+    f = discriminator_stage(in_ch, out_ch, res, cfg, last=False)
+    o = discriminator_stage(
+        in_ch, out_ch, res, dataclasses.replace(cfg, use_pallas=False),
+        last=False,
+    )
+    return f, o
+
+
+@pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
+@pytest.mark.parametrize("skip_proj", [False, True])
+def test_fused_stage_forward_matches_oracle(mode, skip_proj):
+    cfg = _model_cfg(mode)
+    in_ch, out_ch = (16, 32) if skip_proj else (32, 32)
+    fused, oracle = _disc_pair(cfg, in_ch, out_ch, 32)
+    params = oracle.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, in_ch), jnp.float32)
+    # attention logits are zero-init -> nudge them so the gate is non-trivial
+    params = jax.tree.map(
+        lambda p: p + 0.01 * jnp.sin(jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape),
+        params,
+    )
+    got = fused.apply(params, x)
+    want = oracle.apply(params, x)
+    assert got.shape == want.shape == (2, 16, 16, out_ch)  # stage downsamples
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_stage_generator_multiblock_and_upsample():
+    """blocks_per_stage=2: the first conv block stays on the XLA layer path
+    (conv-only fusion measured not profitable), the second fuses with the
+    attention; the upsample stays a plain layer."""
+    cfg = _model_cfg("sigmoid", blocks_per_stage=2)
+    fused, oracle = _gen_pair(cfg, 16, 32, 32)
+    params = oracle.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda p: p + 0.01, params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 16), jnp.float32)
+    got = fused.apply(params, x)
+    want = oracle.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
+def test_fused_stage_grads_match_oracle(mode):
+    """Gradients wrt x AND every param leaf (the custom_vjp backward runs
+    the exact XLA oracle, so the tolerance is reduction-order only)."""
+    cfg = _model_cfg(mode)
+    fused, oracle = _disc_pair(cfg, 16, 32, 32)
+    params = oracle.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda p: p + 0.02, params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 16), jnp.float32)
+
+    def loss(layer):
+        def f(p, xx):
+            y = layer.apply(p, xx)
+            return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+        return f
+
+    (gp_f, gx_f) = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    (gp_o, gx_o) = jax.grad(loss(oracle), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_o),
+                               rtol=5e-5, atol=5e-5)
+    for (kf, lf), (ko, lo) in zip(
+        jax.tree_util.tree_leaves_with_path(gp_f),
+        jax.tree_util.tree_leaves_with_path(gp_o),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lo), rtol=5e-5, atol=5e-5,
+            err_msg=str(kf),
+        )
+
+
+def test_fused_stage_gradgrad_r1_style():
+    """R1-style grad-of-grad works through the fused stage (the backward is
+    the XLA oracle, which is fully differentiable)."""
+    cfg = _model_cfg("sigmoid")
+    fused, oracle = _disc_pair(cfg, 16, 16, 32)
+    params = oracle.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 16), jnp.float32)
+
+    def pen(layer):
+        def f(xx):
+            g = jax.grad(lambda v: jnp.sum(layer.apply(params, v) ** 2))(xx)
+            return jnp.sum(g * g)
+        return f
+
+    got = jax.grad(pen(fused))(x)
+    want = jax.grad(pen(oracle))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gate_respects_threshold(monkeypatch):
+    """Below FUSE_MIN_LOCATIONS the stage runs the plain XLA path — with
+    the production default (512^2) a small input is BITWISE equal to the
+    oracle because the very same layers execute."""
+    monkeypatch.setattr(blocks, "FUSE_MIN_LOCATIONS", 512 * 512)
+    cfg = _model_cfg("sigmoid")
+    res = 16
+    fused, oracle = _disc_pair(cfg, 16, 16, res)
+    params = oracle.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, res, res, 16), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fused.apply(params, x)),
+        np.asarray(oracle.apply(params, x)),
+    )
+
+
+def test_fused_stage_wide_channels_branch():
+    """C >= 128 takes the per-tap (3-matmul) kernel branch; C < 128 takes
+    the lane-concat K=3C branch (covered by the other tests) — pin the wide
+    branch too."""
+    cfg = _model_cfg("sigmoid", base_channels=128, max_channels=128,
+                     min_channels=128)
+    fused, oracle = _disc_pair(cfg, 128, 128, 16)
+    params = oracle.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda p: p + 0.01, params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 128), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(params, x)),
+        np.asarray(oracle.apply(params, x)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_stage_fusable_gates():
+    assert stage_fusable(_model_cfg())
+    assert not stage_fusable(_model_cfg(use_pallas=False))
+    assert not stage_fusable(_model_cfg(norm="pixel"))
+    assert not stage_fusable(_model_cfg(factorized=False))
+    assert not stage_fusable(_model_cfg(kernel_size=5))
+
+
+def test_fused_stage_conv_only_mode():
+    """fused_stage(mode=None) — the conv block alone (public kernel API,
+    not wired into stages after the profitability measurements) — still
+    matches its oracle."""
+    from locate_tpu.ops.pallas.fused_stage import fused_stage, stage_oracle
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    c, co, res = 16, 32, 16
+    x = jax.random.normal(ks[0], (2, res, res, c), jnp.float32)
+    ops = {
+        "x": x,
+        "gn_scale": 1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+        "gn_bias": 0.1 * jax.random.normal(ks[2], (c,)),
+        "w_row": jax.random.normal(ks[3], (1, 3, c, co)) * 0.1,
+        "w_col": jax.random.normal(ks[4], (3, 1, co, co)) * 0.1,
+        "b_col": 0.1 * jax.random.normal(ks[5], (co,)),
+        "w_skip": jax.random.normal(ks[6], (1, 1, c, co)) * 0.1,
+    }
+    got = fused_stage(
+        x, ops["gn_scale"], ops["gn_bias"], ops["w_row"], ops["w_col"],
+        ops["b_col"], ops["w_skip"], groups=4, interpret=True,
+    )
+    want = stage_oracle(ops, h=res, w=res, groups=4, eps=1e-5,
+                        act="leaky_relu", leaky_slope=0.2, mode=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pytree_structure_unchanged():
+    """use_pallas flips apply paths only — init structure is identical
+    (checkpoints and the R1 twin depend on this)."""
+    cfg = _model_cfg("softmax")
+    fused, oracle = _gen_pair(cfg, 16, 32, 32)
+    tf = jax.tree_util.tree_structure(fused.init(jax.random.PRNGKey(0)))
+    to = jax.tree_util.tree_structure(oracle.init(jax.random.PRNGKey(0)))
+    assert tf == to
