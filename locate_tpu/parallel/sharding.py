@@ -152,8 +152,15 @@ def make_sharded_train_step(
     state update in place in HBM.
     """
     pcfg = cfg.parallel
-    step_fn = make_train_step(cfg, gan, axis_name=None)
     b_sharding = batch_sharding(mesh, pcfg.data_axis)
+    # Pin in-graph-sampled tensors (latents, fake labels) to the batch
+    # sharding: keeps the generator forward data-parallel instead of
+    # replicated, and works around an SPMD-partitioner backward
+    # miscompile on meshes with a model axis (see make_train_step doc).
+    step_fn = make_train_step(
+        cfg, gan, axis_name=None,
+        constrain_batch=lambda x: jax.lax.with_sharding_constraint(x, b_sharding),
+    )
     rep = replicated(mesh)
 
     def shardings_for(state: TrainState) -> Any:

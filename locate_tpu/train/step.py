@@ -45,11 +45,21 @@ Metrics = Dict[str, jax.Array]
 def make_train_step(
     cfg: Config, gan: GAN, axis_name: Optional[str] = None,
     axis_size: int = 1,
+    constrain_batch: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Metrics]]:
     """Build the (unjitted) train step. If `axis_name` is set the step is
     meant to run under `shard_map` over that mesh axis (of static size
     `axis_size`) and psum-reduces gradients/metrics across it
-    (SURVEY.md §3.3); under GSPMD jit (the default path) leave it None."""
+    (SURVEY.md §3.3); under GSPMD jit (the default path) leave it None.
+
+    `constrain_batch` (GSPMD path only) pins the sharding of tensors the
+    step *samples* (latents, fake labels) to the batch sharding. Without
+    it the SPMD partitioner is free to keep the in-graph `random.normal`
+    and the whole generator forward replicated — which both wastes
+    devices AND, on a mesh with a model axis, miscompiles the
+    discriminator's conv filter gradients (measured: d-grads off by 75%
+    with bit-identical forwards; see tests/test_parallel.py
+    test_tensor_parallel_per_step_equality, the regression gate)."""
     g_opt, d_opt = make_optimizers(cfg.train)
     g_loss_of, d_loss_of = get_losses(cfg.train.loss)
     tcfg = cfg.train
@@ -80,7 +90,14 @@ def make_train_step(
     # The draw is O(global_batch x latent_dim), trivially cheap next to a
     # conv forward.
     if axis_name is None:
-        sample_latents, sample_labels = gan.sample_latents, gan.sample_labels
+        _cb = constrain_batch or (lambda x: x)
+
+        def sample_latents(key, n):
+            return _cb(gan.sample_latents(key, n))
+
+        def sample_labels(key, n):
+            lab = gan.sample_labels(key, n)
+            return None if lab is None else _cb(lab)
     else:
 
         def _local_rows(arr, n_local):

