@@ -21,6 +21,12 @@ Honesty notes (self-described in the emitted JSON):
     re-fed, matching the images/sec/chip metric definition); `e2e` mode
     (`python bench.py 128 20 e2e`) feeds every step through the real host
     input pipeline + device transfer and reports that number separately.
+  * the headline runs the production loop shape: `steps_per_call=16`
+    optimizer steps per dispatch via lax.scan (TrainConfig.steps_per_call;
+    trajectory-identical to one-step calls, pinned by
+    tests/test_step_variants.py). The JSON also reports
+    `single_step_images_per_sec` (one dispatch per step) so the dispatch-
+    amortization share of the headline is visible. Override with `spc=N`.
 """
 
 from __future__ import annotations
@@ -75,16 +81,39 @@ def main() -> None:
     use_pallas = "xla" not in modes
     fused = "fused" in modes
     e2e = "e2e" in modes
-    cfg = get_config(
-        "lsun_bedroom_128",
-        {
+    # steps_per_call (TrainConfig.steps_per_call): k optimizer steps per
+    # compiled dispatch via lax.scan — the production loop shape, and the
+    # only way to amortize per-dispatch latency. Default 16 for the device
+    # metric; e2e mode stays 1 (it measures the per-batch input path).
+    spc = 1 if e2e else 16
+    for m in modes:
+        if m.startswith("spc="):
+            spc = int(m.split("=", 1)[1])
+
+    def build_cfg(k: int):
+        ov = {
             "train.global_batch": str(batch),
             "train.compute_dtype": "bfloat16",
             "use_pallas": "true" if use_pallas else "false",
             "train.fused_step": "true" if fused else "false",
             "data.resolution": "128",
-        },
-    )
+            # The primary metric times the reference-parity step: presets
+            # default to lazy R1 (r1_gamma=0.1, dynamics fix) but the
+            # reference's step has no gradient penalty, so bench pins it
+            # off to keep the timed program comparable across rounds.
+            "train.r1_gamma": "0.0",
+        }
+        if k > 1:  # cadences must be multiples of k (set BEFORE k)
+            ov.update({
+                "train.log_every": str(100 * k),
+                "train.sample_every": str(2000 * k),
+                "train.checkpoint_every": str(2000 * k),
+                "train.total_steps": str(100_000 * k),
+                "train.steps_per_call": str(k),
+            })
+        return get_config("lsun_bedroom_128", ov)
+
+    cfg = build_cfg(spc)
     if e2e:
         # e2e mode feeds the production input path: a packed (pre-decoded
         # uint8 memmap) dataset, built once from the synthetic renderer
@@ -111,70 +140,84 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg, parallel=dataclasses.replace(cfg.parallel, data_parallel=1)
     )
-    gan = build_gan(cfg)
-    mesh = single_device_mesh(cfg.parallel)
+    import numpy as np
 
-    pipeline = None
-    with mesh:
-        state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
-        jit_step_for, shardings_for, b_shard = make_step_for(cfg, gan, mesh)
-        state = place_train_state(state, shardings_for(state))
-        step = jit_step_for(state)
+    def measure(mcfg):
+        """Time `steps` optimizer steps (grouped into scan calls of
+        mcfg.train.steps_per_call); returns (images/sec, flops/step)."""
+        k = mcfg.train.steps_per_call
+        gan = build_gan(mcfg)
+        mesh = single_device_mesh(mcfg.parallel)
+        pipeline = None
+        with mesh:
+            state = create_train_state(mcfg, gan, jax.random.PRNGKey(0))
+            jit_step_for, shardings_for, b_shard = make_step_for(mcfg, gan, mesh)
+            state = place_train_state(state, shardings_for(state))
+            step = jit_step_for(state)
 
-        import numpy as np
+            rng = np.random.default_rng(0)
+            shape = (batch, 128, 128, 3) if k == 1 else (k, batch, 128, 128, 3)
+            host = {
+                "image": rng.integers(0, 256, shape, dtype=np.uint8),
+                "label": np.zeros(shape[:-3], np.int32),
+            }
+            dev_batch = {
+                kk: jax.device_put(v, b_shard) for kk, v in host.items()
+            }
 
-        rng = np.random.default_rng(0)
-        host = {
-            "image": rng.integers(
-                0, 256, (batch, 128, 128, 3), dtype=np.uint8
-            ),
-            "label": np.zeros((batch,), np.int32),
-        }
-        dev_batch = {
-            "image": jax.device_put(host["image"], b_shard),
-            "label": jax.device_put(host["label"], b_shard),
-        }
+            # FLOPs from the exact compiled executable being timed.
+            # XLA's cost analysis counts a lax.scan body ONCE regardless
+            # of trip count (verified empirically: the k=16 call reports
+            # identical flops to one k=1 step), so the per-step figure is
+            # the raw number, not raw/k.
+            compiled = step.lower(state, dev_batch).compile()
+            flops = _flops_per_step(compiled)
 
-        # FLOPs from the exact compiled executable being timed
-        compiled = step.lower(state, dev_batch).compile()
-        flops = _flops_per_step(compiled)
+            if e2e:
+                from locate_tpu.data.pipeline import make_input_pipeline
 
-        if e2e:
-            from locate_tpu.data.pipeline import make_input_pipeline
+                pipeline = make_input_pipeline(
+                    mcfg.data, batch, sharding=b_shard, seed=0,
+                    steps_per_call=k,
+                )
+                batches = iter(pipeline)
+            else:
+                batches = None
 
-            pipeline = make_input_pipeline(
-                cfg.data, batch, sharding=b_shard, seed=0
-            )
-            batches = iter(pipeline)
-        else:
-            batches = None
+            def next_batch():
+                return next(batches) if e2e else dev_batch
 
-        def next_batch():
-            return next(batches) if e2e else dev_batch
-
-        # compile + warmup (the tunneled emulated chip also ramps up over
-        # the first ~10 steps)
-        for _ in range(10):
-            state, metrics = step(state, next_batch())
-        jax.block_until_ready(metrics)
-
-        # best of 3 windows: robust to transient device-throughput dips
-        best_dt = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(steps):
+            # compile + warmup (the tunneled emulated chip also ramps up
+            # over the first ~10 calls)
+            for _ in range(10):
                 state, metrics = step(state, next_batch())
             jax.block_until_ready(metrics)
-            best_dt = min(best_dt, time.perf_counter() - t0)
 
-    if pipeline is not None:
-        pipeline.close()
+            calls = max(3, steps // k)
+            # best of 3 windows: robust to transient device-throughput dips
+            best_dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(calls):
+                    state, metrics = step(state, next_batch())
+                jax.block_until_ready(metrics)
+                best_dt = min(best_dt, time.perf_counter() - t0)
+        if pipeline is not None:
+            pipeline.close()
+        return calls * k * batch / best_dt, flops
 
-    images_per_sec = steps * batch / best_dt
+    images_per_sec, flops = measure(cfg)
+    single_step_ips = None
+    if spc > 1:
+        # also report the one-step-per-dispatch number so the JSON shows
+        # how much of the headline is dispatch amortization; its compiled
+        # cost analysis is the unambiguous per-step FLOPs source
+        single_step_ips, flops_1 = measure(build_cfg(1))
+        flops = flops_1 or flops
     kind = jax.devices()[0].device_kind
     peak = _PEAK_BF16_FLOPS.get(kind)
     mfu = (
-        round(flops * (steps / best_dt) / peak, 4)
+        round(flops * (images_per_sec / batch) / peak, 4)
         if (flops and peak)
         else None
     )
@@ -202,6 +245,12 @@ def main() -> None:
                 "peak_bf16_flops_assumed": peak,
                 "mfu": mfu,
                 **({"mfu_note": mfu_note} if mfu_note else {}),
+                "steps_per_call": spc,
+                **(
+                    {"single_step_images_per_sec": round(single_step_ips, 2)}
+                    if single_step_ips is not None
+                    else {}
+                ),
                 "measures": "end_to_end" if e2e else "device_compute_only",
             }
         )

@@ -210,6 +210,27 @@ class TrainConfig:
     max_nonfinite_skips: int = 0
     # TensorBoard scalars/images under <workdir>/tb (lazy TF import).
     tensorboard: bool = False
+    # Optimizer steps per host dispatch: the jitted call scans this many
+    # train steps over a stacked [k, batch, ...] input before returning to
+    # Python — amortizes per-step dispatch latency (the dominant cost at
+    # small batch) at the price of k-batch transfer granularity. 1 keeps
+    # the reference one-step-per-call shape. gspmd backend only.
+    steps_per_call: int = 1
+
+    def __post_init__(self):
+        k = self.steps_per_call
+        if k < 1:
+            raise ValueError(f"steps_per_call must be >= 1, got {k}")
+        if k > 1:
+            for name in ("log_every", "sample_every", "checkpoint_every",
+                         "eval_every", "total_steps"):
+                v = getattr(self, name)
+                if v and v % k:
+                    raise ValueError(
+                        f"train.{name}={v} must be a multiple of "
+                        f"steps_per_call={k} (the loop only observes state "
+                        f"every {k} steps)"
+                    )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -168,6 +168,24 @@ class BatchProducer:
         self._stop.set()
 
 
+def stack_batches(host_batches: Iterator[Batch], k: int) -> Iterator[Batch]:
+    """Group `k` consecutive host batches into one [k, batch, ...] stacked
+    batch (TrainConfig.steps_per_call: one device dispatch scans k train
+    steps, so the transfer granularity becomes k batches)."""
+    if k <= 1:
+        yield from host_batches
+        return
+    while True:
+        group = []
+        for b in host_batches:
+            group.append(b)
+            if len(group) == k:
+                break
+        if len(group) < k:
+            return  # upstream exhausted (producers are normally infinite)
+        yield {key: np.stack([g[key] for g in group]) for key in group[0]}
+
+
 def device_prefetch(
     host_batches: Iterator[Batch],
     sharding: Optional[jax.sharding.Sharding] = None,
@@ -240,9 +258,12 @@ def make_input_pipeline(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
     skip_batches: int = 0,
+    steps_per_call: int = 1,
 ) -> InputPipeline:
     """Dataset -> producer thread -> device prefetch, per-host sharded.
-    `skip_batches` deterministically fast-forwards the stream for resume."""
+    `skip_batches` deterministically fast-forwards the stream for resume
+    (always counted in single optimizer-step batches, independent of
+    `steps_per_call` stacking)."""
     from locate_tpu.data.datasets import make_dataset
 
     pi = jax.process_index() if process_index is None else process_index
@@ -261,5 +282,6 @@ def make_input_pipeline(
         prefetch=data_cfg.prefetch,
         skip_examples=skip_batches * per_host,
     )
-    it = device_prefetch(iter(producer), sharding, depth=data_cfg.prefetch)
+    host_it = stack_batches(iter(producer), steps_per_call)
+    it = device_prefetch(host_it, sharding, depth=data_cfg.prefetch)
     return InputPipeline(producer, it, dataset)

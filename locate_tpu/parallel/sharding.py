@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from locate_tpu.config import Config
 from locate_tpu.models.gan import GAN
 from locate_tpu.train.state import TrainState
-from locate_tpu.train.step import make_train_step
+from locate_tpu.train.step import make_multi_step, make_train_step
 
 
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
@@ -108,6 +108,10 @@ def make_shardmap_train_step(
     pcfg = cfg.parallel
     if mesh.shape[pcfg.model_axis] != 1:
         raise ValueError("shard_map step is DP-only (model_parallel must be 1)")
+    if cfg.train.steps_per_call > 1:
+        raise ValueError(
+            "steps_per_call > 1 is gspmd-only (parallel.backend='gspmd')"
+        )
     step_fn = make_train_step(
         cfg, gan, axis_name=pcfg.data_axis,
         axis_size=mesh.shape[pcfg.data_axis],
@@ -152,14 +156,22 @@ def make_sharded_train_step(
     state update in place in HBM.
     """
     pcfg = cfg.parallel
-    b_sharding = batch_sharding(mesh, pcfg.data_axis)
+    single_b = batch_sharding(mesh, pcfg.data_axis)
     # Pin in-graph-sampled tensors (latents, fake labels) to the batch
     # sharding: keeps the generator forward data-parallel instead of
     # replicated, and works around an SPMD-partitioner backward
     # miscompile on meshes with a model axis (see make_train_step doc).
     step_fn = make_train_step(
         cfg, gan, axis_name=None,
-        constrain_batch=lambda x: jax.lax.with_sharding_constraint(x, b_sharding),
+        constrain_batch=lambda x: jax.lax.with_sharding_constraint(x, single_b),
+    )
+    k = cfg.train.steps_per_call
+    step_fn = make_multi_step(step_fn, k)
+    # With steps_per_call > 1 the input carries a leading [k] scan axis;
+    # the batch dim (sharded over `data`) moves to position 1.
+    b_sharding = (
+        single_b if k <= 1
+        else NamedSharding(mesh, P(None, pcfg.data_axis))
     )
     rep = replicated(mesh)
 

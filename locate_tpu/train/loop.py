@@ -53,13 +53,21 @@ def train(
             print(f"[locate-tpu] resumed from step {int(state.step)}")
 
         step_fn = jit_step_for(state)
+        k = cfg.train.steps_per_call
+        if k > 1 and (total_steps % k or int(state.step) % k):
+            raise ValueError(
+                f"total_steps={total_steps} and the resume step "
+                f"{int(state.step)} must both be multiples of "
+                f"train.steps_per_call={k}"
+            )
         batches = make_input_pipeline(
             cfg.data, cfg.train.global_batch,
             sharding=batch_shard, seed=cfg.train.seed,
             skip_batches=int(state.step),  # resume replays the exact stream
+            steps_per_call=k,
         )
 
-        timer = StepTimer(cfg.train.global_batch)
+        timer = StepTimer(cfg.train.global_batch * k)
         logger = MetricsLogger(
             os.path.join(cfg.workdir, "tb") if cfg.train.tensorboard else None
         )
@@ -69,7 +77,9 @@ def train(
         eval_cache: dict = {}
         start = int(state.step)
         try:
-          for step_idx in range(start, total_steps):
+          # stride k: each dispatch advances k optimizer steps (config
+          # validation pins every cadence to a multiple of k).
+          for step_idx in range(start, total_steps, k):
             batch = next(batches)
             with trace_annotation("train_step"):
                 state, metrics = step_fn(state, batch)
@@ -77,11 +87,11 @@ def train(
             # measures real device throughput, not dispatch rate.
             timer.tick(metrics)
 
-            step_num = step_idx + 1
+            step_num = step_idx + k
             if step_num % cfg.train.log_every == 0 or step_num == total_steps:
                 host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 host_metrics["images_per_sec"] = timer.images_per_sec
-                host_metrics["sec_per_step"] = timer.sec_per_step
+                host_metrics["sec_per_step"] = timer.sec_per_step / k
                 logger.log_scalars(step_num, host_metrics)
                 if "on_metrics" in hooks:
                     hooks["on_metrics"](step_num, host_metrics)

@@ -272,3 +272,35 @@ def make_train_step(
                       d_opt_state, g_loss, g_grads)
 
     return fused_step if tcfg.fused_step else alternating_step
+
+
+# Metric keys whose per-window reduction is "last step", not "mean":
+# the non-finite skip streak is a running counter — its value AT the end
+# of the window is the current streak the abort check needs.
+_LAST_METRICS = ("d_nonfinite_streak", "g_nonfinite_streak")
+
+
+def make_multi_step(
+    step_fn: Callable[[TrainState, Batch], Tuple[TrainState, Metrics]],
+    steps_per_call: int,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Metrics]]:
+    """Scan `step_fn` over `steps_per_call` stacked batches in ONE compiled
+    call (TrainConfig.steps_per_call): batch leaves carry a leading [k]
+    axis; per-step metrics are reduced on-device (mean, except streak
+    counters which report the last step). The returned state has advanced
+    k optimizer steps — trajectory-identical to k sequential calls (the
+    scan body IS the single step), pinned by
+    tests/test_step_variants.py::test_multi_step_matches_sequential."""
+    if steps_per_call <= 1:
+        return step_fn
+
+    def multi(state: TrainState, batches: Batch):
+        new_state, ms = jax.lax.scan(step_fn, state, batches,
+                                     length=steps_per_call)
+        metrics = {
+            k: (v[-1] if k in _LAST_METRICS else jnp.mean(v))
+            for k, v in ms.items()
+        }
+        return new_state, metrics
+
+    return multi

@@ -86,3 +86,110 @@ def test_warmup_cosine_schedule(tiny_config):
     sched = make_schedule(cfg.train.g_opt.lr, cfg.train)
     assert float(sched(0)) < float(sched(2))
     assert float(sched(9)) < float(sched(2))
+
+
+def test_multi_step_matches_sequential(tiny_config):
+    """steps_per_call: one scan-of-k dispatch must reproduce k sequential
+    single-step calls exactly (the scan body IS the single step), and the
+    returned metrics must be the per-window mean."""
+    from locate_tpu.train.step import make_multi_step
+
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    step = jax.jit(make_train_step(cfg, gan))
+    multi = jax.jit(make_multi_step(make_train_step(cfg, gan), 2))
+
+    batches = [make_batch(cfg, jax.random.PRNGKey(i)) for i in range(4)]
+
+    s_seq = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    seq_hist = []
+    for b in batches:
+        s_seq, m = step(s_seq, b)
+        seq_hist.append({k: float(v) for k, v in m.items()})
+
+    s_scan = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    scan_hist = []
+    for i in range(0, 4, 2):
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), batches[i], batches[i + 1]
+        )
+        s_scan, m = multi(s_scan, stacked)
+        scan_hist.append({k: float(v) for k, v in m.items()})
+
+    assert int(s_scan.step) == int(s_seq.step) == 4
+
+    def assert_params_close(a, b):
+        # The softmax gate's `to_logits.b` is a flat direction (shift-
+        # invariant, true gradient exactly zero); Adam amplifies each
+        # compilation's distinct reduction-order noise there to O(lr)
+        # drift, so exclude it from the bitwise-ish comparison — the
+        # functional check below covers it (a flat-direction shift never
+        # changes the model's outputs).
+        fa = jax.tree_util.tree_flatten_with_path(a)[0]
+        fb = jax.tree.leaves(b)
+        for (path, la), lb in zip(fa, fb):
+            name = jax.tree_util.keystr(path)
+            if "to_logits" in name and name.endswith("['b']"):
+                continue
+            np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-6, err_msg=name)
+
+    assert_params_close(s_seq.g_params, s_scan.g_params)
+    assert_params_close(s_seq.d_params, s_scan.d_params)
+    # functional equality: both final generators map a fixed latent to the
+    # same images (covers the excluded flat direction too)
+    z = gan.sample_latents(jax.random.PRNGKey(9), 4)
+    img_seq = gan.generator.apply(s_seq.g_params, z, None)
+    img_scan = gan.generator.apply(s_scan.g_params, z, None)
+    np.testing.assert_allclose(img_seq, img_scan, rtol=1e-4, atol=1e-5)
+    # window metrics == mean of the two covered sequential steps
+    for w, (a, b) in zip(scan_hist, [(0, 1), (2, 3)]):
+        for key in ("d_loss", "g_loss"):
+            np.testing.assert_allclose(
+                w[key], (seq_hist[a][key] + seq_hist[b][key]) / 2,
+                rtol=1e-5, err_msg=key,
+            )
+
+
+def test_steps_per_call_config_validation():
+    import pytest
+
+    from locate_tpu.config import TrainConfig
+
+    with pytest.raises(ValueError, match="multiple of"):
+        TrainConfig(steps_per_call=4, log_every=6)
+    with pytest.raises(ValueError, match=">= 1"):
+        TrainConfig(steps_per_call=0)
+    TrainConfig(steps_per_call=4, log_every=8, sample_every=0,
+                checkpoint_every=8, eval_every=0, total_steps=16)
+
+
+def test_train_loop_steps_per_call(tiny_config, tmp_path):
+    """End-to-end: the loop with steps_per_call=2 produces the same
+    trajectory as the plain loop (same data order, same latent stream)."""
+    from locate_tpu.train.loop import train
+
+    def run(k):
+        cfg = dataclasses.replace(
+            tiny_config,
+            train=dataclasses.replace(
+                tiny_config.train, steps_per_call=k, log_every=2,
+                total_steps=4, sample_every=0, checkpoint_every=0,
+            ),
+            workdir=str(tmp_path / f"k{k}"),
+        )
+        logged = []
+        train(cfg, total_steps=4,
+              hooks={"on_metrics": lambda s, m: logged.append((s, m))},
+              resume=False)
+        return logged
+
+    l1, l2 = run(1), run(2)
+    assert [s for s, _ in l1] == [s for s, _ in l2] == [2, 4]
+    # k=1 logs instantaneous step metrics, k=2 logs window means, so the
+    # values aren't directly comparable; the shared trajectory (same data
+    # order, same latent stream) is pinned loosely here and exactly by
+    # test_multi_step_matches_sequential above.
+    m1 = {s: m for s, m in l1}
+    m2 = {s: m for s, m in l2}
+    np.testing.assert_allclose(m1[4]["d_loss"], m2[4]["d_loss"], rtol=0.2)
+    assert np.isfinite(list(m2[4].values())).all()
