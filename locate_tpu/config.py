@@ -274,7 +274,8 @@ def _cifar10_32() -> Config:
         name="cifar10_32",
         model=ModelConfig(resolution=32, base_channels=256, max_channels=256),
         data=DataConfig(dataset="cifar10", resolution=32),
-        train=TrainConfig(global_batch=64, compute_dtype="float32"),
+        train=TrainConfig(global_batch=64, compute_dtype="float32",
+                          r1_gamma=0.1, max_nonfinite_skips=200),
         workdir="runs/cifar10_32",
     )
 
@@ -287,7 +288,8 @@ def _celeba_64() -> Config:
             resolution=64, base_channels=512, max_channels=512, attention_stages="all"
         ),
         data=DataConfig(dataset="folder", resolution=64),
-        train=TrainConfig(global_batch=64),
+        train=TrainConfig(global_batch=64, r1_gamma=0.1,
+                          max_nonfinite_skips=200),
         workdir="runs/celeba_64",
     )
 
@@ -307,7 +309,8 @@ def _lsun_bedroom_128() -> Config:
             blocks_per_stage=2,
         ),
         data=DataConfig(dataset="folder", resolution=128),
-        train=TrainConfig(global_batch=64, ema_decay=0.999),
+        train=TrainConfig(global_batch=64, ema_decay=0.999, r1_gamma=0.1,
+                          max_nonfinite_skips=200),
         workdir="runs/lsun_bedroom_128",
     )
 
@@ -323,7 +326,8 @@ def _ffhq_256() -> Config:
             num_classes=10,
         ),
         data=DataConfig(dataset="folder", resolution=256, num_classes=10),
-        train=TrainConfig(global_batch=128, max_nonfinite_skips=50),
+        train=TrainConfig(global_batch=128, r1_gamma=0.1,
+                          max_nonfinite_skips=200),
         parallel=ParallelConfig(data_parallel=-1),
         workdir="runs/ffhq_256",
     )
@@ -340,7 +344,8 @@ def _ffhq_512() -> Config:
             remat=True,
         ),
         data=DataConfig(dataset="folder", resolution=512),
-        train=TrainConfig(global_batch=256, max_nonfinite_skips=50),
+        train=TrainConfig(global_batch=256, r1_gamma=0.1,
+                          max_nonfinite_skips=200),
         parallel=ParallelConfig(data_parallel=-1),
         use_pallas=True,
         workdir="runs/ffhq_512",
