@@ -111,35 +111,39 @@ def main() -> None:
                 "train.total_steps": str(100_000 * k),
                 "train.steps_per_call": str(k),
             })
-        return get_config("lsun_bedroom_128", ov)
+        cfg = get_config("lsun_bedroom_128", ov)
+        if e2e:
+            # e2e mode feeds the production input path: a packed
+            # (pre-decoded uint8 memmap) dataset, built once from the
+            # synthetic renderer (no image files are vendored in this
+            # environment). Steady-state cost = page-cache memcpy + flip
+            # + device transfer, exactly what a real packed LSUN/FFHQ
+            # run pays. Applied INSIDE build_cfg so the single-step
+            # comparison run (build_cfg(1)) gets the same data source.
+            import tempfile
+
+            from locate_tpu.data.datasets import SyntheticImages
+            from locate_tpu.data.packed import pack_dataset
+
+            pack_dir = os.path.join(
+                tempfile.gettempdir(), "ltpu_bench_pack_128"
+            )
+            if not os.path.exists(os.path.join(pack_dir, "meta.json")):
+                pack_dataset(
+                    SyntheticImages(128, 3, length=max(4 * batch, 2048)),
+                    pack_dir,
+                )
+            cfg = dataclasses.replace(
+                cfg,
+                data=dataclasses.replace(
+                    cfg.data, dataset="packed", path=pack_dir
+                ),
+            )
+        return dataclasses.replace(
+            cfg, parallel=dataclasses.replace(cfg.parallel, data_parallel=1)
+        )
 
     cfg = build_cfg(spc)
-    if e2e:
-        # e2e mode feeds the production input path: a packed (pre-decoded
-        # uint8 memmap) dataset, built once from the synthetic renderer
-        # (no image files are vendored in this environment). Steady-state
-        # cost = page-cache memcpy + flip + device transfer, exactly what
-        # a real packed LSUN/FFHQ run pays.
-        import tempfile
-
-        from locate_tpu.data.datasets import SyntheticImages
-        from locate_tpu.data.packed import pack_dataset
-
-        pack_dir = os.path.join(tempfile.gettempdir(), "ltpu_bench_pack_128")
-        if not os.path.exists(os.path.join(pack_dir, "meta.json")):
-            pack_dataset(
-                SyntheticImages(128, 3, length=max(4 * batch, 2048)),
-                pack_dir,
-            )
-        cfg = dataclasses.replace(
-            cfg,
-            data=dataclasses.replace(
-                cfg.data, dataset="packed", path=pack_dir
-            ),
-        )
-    cfg = dataclasses.replace(
-        cfg, parallel=dataclasses.replace(cfg.parallel, data_parallel=1)
-    )
     import numpy as np
 
     def measure(mcfg):

@@ -244,14 +244,15 @@ def cmd_bench_input(argv: List[str]) -> int:
 
 
 def cmd_bench(argv: List[str]) -> int:
-    """`bench [batch] [steps] [xla|fused]` — preset names and key=value
-    overrides are ignored by bench.py (it pins the primary-metric config),
-    so only numeric/flag args are forwarded."""
+    """`bench [batch] [steps] [xla|fused|e2e|spc=N]` — preset names and
+    key=value overrides are ignored by bench.py (it pins the
+    primary-metric config), so only numeric/flag args are forwarded."""
     import bench
 
     forwarded = [
         a for a in argv
         if a.isdigit() or a in ("xla", "fused", "e2e")
+        or (a.startswith("spc=") and a[4:].isdigit())
     ]
     sys.argv = ["bench.py"] + forwarded
     bench.main()

@@ -83,13 +83,20 @@ def train(
             batch = next(batches)
             with trace_annotation("train_step"):
                 state, metrics = step_fn(state, batch)
-            # tick(metrics) blocks until the step retires, so images_per_sec
-            # measures real device throughput, not dispatch rate.
-            timer.tick(metrics)
+            # Block only while warming up (so the rate clock starts from a
+            # clean synced point); steady-state ticks stay non-blocking to
+            # preserve async dispatch (host prepares call N+1 while the
+            # device runs call N). Rates are still real device throughput:
+            # every log boundary's device_get below retires all steps
+            # dispatched so far, and rates are only read after it.
+            timer.tick(metrics if timer.warming_up else None)
 
             step_num = step_idx + k
             if step_num % cfg.train.log_every == 0 or step_num == total_steps:
-                host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                host_metrics = {
+                    name: float(v)
+                    for name, v in jax.device_get(metrics).items()
+                }
                 host_metrics["images_per_sec"] = timer.images_per_sec
                 host_metrics["sec_per_step"] = timer.sec_per_step / k
                 logger.log_scalars(step_num, host_metrics)

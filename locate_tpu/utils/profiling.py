@@ -54,6 +54,15 @@ class StepTimer:
             self._timed_steps += 1
 
     @property
+    def warming_up(self) -> bool:
+        """True until the tick that starts the clock. Callers that want an
+        async hot loop should pass `result` only while this is True (the
+        clock then starts from a clean synced point) and ensure a
+        block/`device_get` happens before *reading* the rates — e.g. the
+        train loop's log-boundary metrics fetch."""
+        return self._count < self.warmup
+
+    @property
     def images_per_sec(self) -> float:
         if not self._t0 or not self._timed_steps:
             return 0.0
