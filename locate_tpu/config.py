@@ -184,6 +184,10 @@ class TrainConfig:
     grad_accum: int = 1
     # EMA generator for sampling (BASELINE config 3). 0 disables.
     ema_decay: float = 0.999
+    # EMA shadow storage: "float32" (plain accumulation) or "bfloat16"
+    # (stochastically-rounded accumulation — halves the shadow's HBM;
+    # deterministic bf16 would stall, see objectives/ema.py).
+    ema_dtype: str = "float32"
     # Lazy R1 gradient penalty on D every `r1_interval` steps; 0 disables.
     r1_gamma: float = 0.0
     r1_interval: int = 16
@@ -218,6 +222,10 @@ class TrainConfig:
     steps_per_call: int = 1
 
     def __post_init__(self):
+        if self.ema_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"ema_dtype must be float32 or bfloat16, got {self.ema_dtype!r}"
+            )
         k = self.steps_per_call
         if k < 1:
             raise ValueError(f"steps_per_call must be >= 1, got {k}")

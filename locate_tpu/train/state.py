@@ -23,14 +23,19 @@ class TrainState:
     d_params: Any
     g_opt_state: Any
     d_opt_state: Any
-    ema_params: Any                 # fp32 EMA shadow of g_params (or None)
+    ema_params: Any                 # EMA shadow of g_params in
+                                    # train.ema_dtype (or None)
 
 
 def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
     k_init, k_train = jax.random.split(key)
     params = gan.init(k_init)
     g_opt, d_opt = make_optimizers(cfg.train)
-    ema = ema_init(params["generator"]) if cfg.train.ema_decay > 0 else None
+    ema = (
+        ema_init(params["generator"], jnp.dtype(cfg.train.ema_dtype))
+        if cfg.train.ema_decay > 0
+        else None
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         rng=k_train,

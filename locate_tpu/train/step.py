@@ -149,15 +149,16 @@ def make_train_step(
         inner = opt_state.inner_opt_state if tcfg.grad_accum > 1 else opt_state
         return inner.notfinite_count
 
-    def finish(state, new_rng, d_loss, d_aux, d_grads, d_params, d_opt_state,
-               g_loss, g_grads):
+    def finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
+               d_opt_state, g_loss, g_grads):
         """Shared tail of both step flavors: G update, EMA, metrics, state."""
         g_grads = pmean(g_grads)
         g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         ema_params = state.ema_params
         if ema_params is not None:
-            new_ema = ema_update(ema_params, g_params, tcfg.ema_decay)
+            sr_key = k_ema if tcfg.ema_dtype == "bfloat16" else None
+            new_ema = ema_update(ema_params, g_params, tcfg.ema_decay, sr_key)
             if tcfg.grad_accum > 1:
                 # EMA moves only on optimizer emits (MultiSteps leaves
                 # params unchanged on accumulation micro-steps; updating
@@ -209,7 +210,7 @@ def make_train_step(
     def alternating_step(state: TrainState, batch: Batch):
         real, labels, rng, new_rng = prepare(state, batch)
         n = real.shape[0]
-        _, k_zd, k_zg, k_ld, k_lg = jax.random.split(rng, 5)
+        k_ema, k_zd, k_zg, k_ld, k_lg = jax.random.split(rng, 5)
         if tcfg.share_latents:
             # z_g == z_d: the G-step forward becomes identical HLO to the
             # D-step fake forward and XLA CSE computes it once.
@@ -238,7 +239,7 @@ def make_train_step(
             return g_loss_of(gan.discriminator.apply(d_params, fake, fake_labels_g))
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
-        return finish(state, new_rng, d_loss, d_aux, d_grads, d_params,
+        return finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
                       d_opt_state, g_loss, g_grads)
 
     # ---- fused simultaneous step (FusedProp-style) ----------------------
@@ -246,7 +247,7 @@ def make_train_step(
     def fused_step(state: TrainState, batch: Batch):
         real, labels, rng, new_rng = prepare(state, batch)
         n = real.shape[0]
-        _, k_z, k_l = jax.random.split(rng, 3)
+        k_ema, k_z, k_l = jax.random.split(rng, 3)
         z = sample_latents(k_z, n)
         fake_labels = sample_labels(k_l, n)
 
@@ -268,7 +269,7 @@ def make_train_step(
         )
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
         d_params, d_opt_state, d_grads = d_update(state, d_grads)
-        return finish(state, new_rng, d_loss, d_aux, d_grads, d_params,
+        return finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
                       d_opt_state, g_loss, g_grads)
 
     return fused_step if tcfg.fused_step else alternating_step
