@@ -191,6 +191,18 @@ class TrainConfig:
     # Lazy R1 gradient penalty on D every `r1_interval` steps; 0 disables.
     r1_gamma: float = 0.0
     r1_interval: int = 16
+    # --- Discriminator augmentation (StyleGAN2-ADA, arXiv 2006.06676) ---
+    # D sees aug(x) for BOTH real and fake (G backprops through it);
+    # prevents D memorizing small datasets (ops/augment.py). augment_p is
+    # the per-op application probability; 0 with ada_target=0 disables
+    # the pipeline structurally (no extra pytree leaf in TrainState).
+    augment_p: float = 0.0
+    # If > 0, p adapts online: r_t = E[sign(D(real))] (D overfitting
+    # heuristic) is driven toward this target (paper uses 0.6) by
+    # +-global_batch/(ada_speed_kimg*1000) per step, clipped to [0, 1].
+    # augment_p is then the initial p.
+    ada_target: float = 0.0
+    ada_speed_kimg: int = 500
     seed: int = 0
     log_every: int = 100
     sample_every: int = 2000
@@ -226,6 +238,14 @@ class TrainConfig:
             raise ValueError(
                 f"ema_dtype must be float32 or bfloat16, got {self.ema_dtype!r}"
             )
+        if not 0.0 <= self.augment_p <= 1.0:
+            raise ValueError(f"augment_p must be in [0, 1], got {self.augment_p}")
+        if not 0.0 <= self.ada_target < 1.0:
+            raise ValueError(
+                f"ada_target must be in [0, 1), got {self.ada_target}"
+            )
+        if self.ada_speed_kimg <= 0:
+            raise ValueError("ada_speed_kimg must be positive")
         k = self.steps_per_call
         if k < 1:
             raise ValueError(f"steps_per_call must be >= 1, got {k}")

@@ -1,0 +1,104 @@
+"""On-device discriminator augmentation (StyleGAN2-ADA style; arXiv
+2006.06676 "Training Generative Adversarial Networks with Limited Data").
+
+Beyond-reference capability (the reference trains un-augmented; SURVEY.md
+§1): D only ever sees `aug(x)` for both real and fake images, which
+prevents D from memorizing a small dataset, and the augmentation
+probability `p` can be adapted online from D's overfitting signal
+(objectives in train/step.py).
+
+TPU-first constraints shape the design:
+
+  * everything runs INSIDE the jitted train step on (N,H,W,C) batches —
+    no host-side per-image work, no dynamic shapes;
+  * every op is branchless: each sample draws "apply?" ~ Bernoulli(p) per
+    augmentation and blends with `where`, so the compiled program is
+    identical for every p (p is a traced scalar — adapting it never
+    recompiles);
+  * every op is differentiable in x (gather, multiply, add, where), so
+    the G step back-propagates through `D(aug(G(z)))` as ADA requires;
+  * geometric ops (flip + integer wrap-around translation) compose into
+    ONE gather instead of separate image-sized shuffles.
+
+Ops (each applied independently with probability p, per sample):
+  x-flip; integer translation up to ±H/8 (wrap-around); brightness
+  (x + b, b~N(0,0.2)); contrast about the per-sample mean
+  (c = 2^N(0,0.5)); saturation about the per-pixel luma (RGB only,
+  s = 2^N(0,1)); cutout (H/2 × W/2 box of zeros = mid-gray).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def augment_pipeline(key: jax.Array, x: jax.Array, p) -> jax.Array:
+    """Apply the augmentation stack to a batch.
+
+    `p` may be a Python float or a traced scalar (ADA adapts it without
+    recompiling). p == 0 is the identity in value (the program still
+    contains the blended ops); callers disable augmentation structurally
+    by not calling this at all.
+    """
+    n, h, w, c = x.shape
+    dtype = x.dtype
+    p = jnp.asarray(p, jnp.float32)
+    ks = jax.random.split(key, 12)
+
+    # ---- geometric: flip + integer translation as one gather ----------
+    flip = jax.random.bernoulli(ks[0], p, (n,))
+    t_apply = jax.random.bernoulli(ks[1], p, (n,))
+    max_ty, max_tx = max(h // 8, 1), max(w // 8, 1)
+    ty = jnp.where(
+        t_apply, jax.random.randint(ks[2], (n,), -max_ty, max_ty + 1), 0
+    )
+    tx = jnp.where(
+        t_apply, jax.random.randint(ks[3], (n,), -max_tx, max_tx + 1), 0
+    )
+    iy = (jnp.arange(h)[None, :] - ty[:, None]) % h            # (n, h)
+    ix0 = jnp.arange(w)[None, :]
+    ix = jnp.where(flip[:, None], w - 1 - ix0, ix0)
+    ix = (ix - tx[:, None]) % w                                # (n, w)
+    x = x[jnp.arange(n)[:, None, None], iy[:, :, None], ix[:, None, :]]
+
+    # ---- color --------------------------------------------------------
+    def blend(apply, aug):
+        return jnp.where(apply[:, None, None, None], aug, x)
+
+    b_apply = jax.random.bernoulli(ks[4], p, (n,))
+    b = jax.random.normal(ks[5], (n, 1, 1, 1), jnp.float32) * 0.2
+    x = blend(b_apply, x + b.astype(dtype))
+
+    c_apply = jax.random.bernoulli(ks[6], p, (n,))
+    cfac = jnp.exp2(
+        jax.random.normal(ks[7], (n, 1, 1, 1), jnp.float32) * 0.5
+    ).astype(dtype)
+    # f32 accumulation: a bf16 reduction over H*W*C elements loses the
+    # mean to rounding
+    mean = x.astype(jnp.float32).mean(axis=(1, 2, 3), keepdims=True).astype(dtype)
+    x = blend(c_apply, (x - mean) * cfac + mean)
+
+    if c == 3:
+        s_apply = jax.random.bernoulli(ks[8], p, (n,))
+        sfac = jnp.exp2(
+            jax.random.normal(ks[9], (n, 1, 1, 1), jnp.float32)
+        ).astype(dtype)
+        luma = (
+            x * jnp.asarray([0.299, 0.587, 0.114], dtype)
+        ).sum(-1, keepdims=True)
+        x = blend(s_apply, (x - luma) * sfac + luma)
+
+    # ---- cutout -------------------------------------------------------
+    cut_apply = jax.random.bernoulli(ks[10], p, (n,))
+    k_cy, k_cx = jax.random.split(ks[11])
+    cy = jax.random.randint(k_cy, (n,), 0, h)
+    cx = jax.random.randint(k_cx, (n,), 0, w)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    keep = (
+        (jnp.abs(yy - cy[:, None, None]) >= h // 4)
+        | (jnp.abs(xx - cx[:, None, None]) >= w // 4)
+    )
+    keep = keep | ~cut_apply[:, None, None]
+    return x * keep[..., None].astype(dtype)

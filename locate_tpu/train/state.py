@@ -25,6 +25,9 @@ class TrainState:
     d_opt_state: Any
     ema_params: Any                 # EMA shadow of g_params in
                                     # train.ema_dtype (or None)
+    ada_p: Any = None               # scalar augmentation probability
+                                    # (None when augmentation disabled —
+                                    # keeps the pytree unchanged)
 
 
 def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
@@ -36,6 +39,7 @@ def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
         if cfg.train.ema_decay > 0
         else None
     )
+    aug_on = cfg.train.augment_p > 0.0 or cfg.train.ada_target > 0.0
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         rng=k_train,
@@ -44,4 +48,7 @@ def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
         g_opt_state=g_opt.init(params["generator"]),
         d_opt_state=d_opt.init(params["discriminator"]),
         ema_params=ema,
+        ada_p=(
+            jnp.asarray(cfg.train.augment_p, jnp.float32) if aug_on else None
+        ),
     )

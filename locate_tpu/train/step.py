@@ -64,6 +64,23 @@ def make_train_step(
     g_loss_of, d_loss_of = get_losses(cfg.train.loss)
     tcfg = cfg.train
     conditional = gan.config.num_classes > 0
+    # Discriminator augmentation (ADA, ops/augment.py): D only ever sees
+    # aug(x); the G step backprops through the augmentation of its fakes.
+    # Structurally disabled (no extra ops, no ada_p leaf) when both knobs
+    # are zero. Aug keys derive from fold_in(rng, tag) so enabling
+    # augmentation never changes the latent streams; under shard_map the
+    # axis index is folded in so each replica augments its own rows
+    # independently (mesh-invariance vs the global program is NOT
+    # preserved for the augmentation draws, unlike latents).
+    aug_on = tcfg.augment_p > 0.0 or tcfg.ada_target > 0.0
+    if aug_on:
+        from locate_tpu.ops.augment import augment_pipeline
+
+    def aug_keys(rng, count):
+        ka = jax.random.fold_in(rng, 0x41444121)
+        if axis_name is not None:
+            ka = jax.random.fold_in(ka, jax.lax.axis_index(axis_name))
+        return jax.random.split(ka, count)
 
     # R1 is grad-of-grad; the Pallas attention's custom_vjp is first-order
     # only, so the penalty runs through an XLA-path discriminator twin
@@ -119,6 +136,10 @@ def make_train_step(
             "real_logits": jnp.mean(real_logits),
             "fake_logits": jnp.mean(fake_logits),
         }
+        if tcfg.ada_target > 0.0:
+            # ADA overfitting heuristic r_t = E[sign(D(real))] (the
+            # portion of (augmented) reals D classifies as real)
+            aux["ada_r"] = jnp.mean(jnp.sign(real_logits))
         if tcfg.r1_gamma > 0.0:
             # Lazy R1: every r1_interval steps, scaled to keep the expected
             # strength (StyleGAN-style lazy regularization).
@@ -150,8 +171,9 @@ def make_train_step(
         return inner.notfinite_count
 
     def finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
-               d_opt_state, g_loss, g_grads):
-        """Shared tail of both step flavors: G update, EMA, metrics, state."""
+               d_opt_state, g_loss, g_grads, n_local):
+        """Shared tail of both step flavors: G update, EMA, ADA controller,
+        metrics, state."""
         g_grads = pmean(g_grads)
         g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -169,6 +191,19 @@ def make_train_step(
                 )
             else:
                 ema_params = new_ema
+        ada_p = state.ada_p
+        if tcfg.ada_target > 0.0:
+            # replicate-safe: r is pmean'd before the p update so the
+            # (replicated) ada_p stays bitwise identical across replicas
+            r = pmean(d_aux["ada_r"])
+            step_images = n_local * axis_size
+            ada_p = jnp.clip(
+                ada_p
+                + jnp.sign(r - tcfg.ada_target)
+                * (step_images / (tcfg.ada_speed_kimg * 1000.0)),
+                0.0,
+                1.0,
+            )
         metrics = {
             "d_loss": d_loss,
             "g_loss": g_loss,
@@ -176,6 +211,8 @@ def make_train_step(
             "g_grad_norm": optax.global_norm(g_grads),
             **d_aux,
         }
+        if aug_on:
+            metrics["augment_p"] = ada_p
         d_streak = _nonfinite_streak(d_opt_state)
         if d_streak is not None:
             metrics["d_nonfinite_streak"] = d_streak
@@ -189,6 +226,7 @@ def make_train_step(
             g_opt_state=g_opt_state,
             d_opt_state=d_opt_state,
             ema_params=ema_params,
+            ada_p=ada_p,
         )
         return new_state, metrics
 
@@ -221,9 +259,19 @@ def make_train_step(
         fake_d = jax.lax.stop_gradient(
             gan.generator.apply(state.g_params, z_d, fake_labels_d)
         )
+        if aug_on:
+            ka_r, ka_f, ka_g = aug_keys(rng, 3)
+            real_in = augment_pipeline(ka_r, real, state.ada_p)
+            fake_d_in = augment_pipeline(ka_f, fake_d, state.ada_p)
+        else:
+            real_in, fake_d_in = real, fake_d
 
         def d_loss_fn(d_params):
-            return d_loss_with_aux(d_params, real, labels, fake_d, fake_labels_d, state.step)
+            # R1 (inside d_loss_with_aux) also runs on the augmented real
+            # — D's actual input — matching the ADA paper.
+            return d_loss_with_aux(
+                d_params, real_in, labels, fake_d_in, fake_labels_d, state.step
+            )
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
@@ -236,11 +284,13 @@ def make_train_step(
         def g_loss_fn(g_params):
             # through the *updated* D: alternating semantics
             fake = gan.generator.apply(g_params, z_g, fake_labels_g)
+            if aug_on:  # gradient flows through the augmentation
+                fake = augment_pipeline(ka_g, fake, state.ada_p)
             return g_loss_of(gan.discriminator.apply(d_params, fake, fake_labels_g))
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
         return finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
-                      d_opt_state, g_loss, g_grads)
+                      d_opt_state, g_loss, g_grads, n)
 
     # ---- fused simultaneous step (FusedProp-style) ----------------------
 
@@ -250,15 +300,26 @@ def make_train_step(
         k_ema, k_z, k_l = jax.random.split(rng, 3)
         z = sample_latents(k_z, n)
         fake_labels = sample_labels(k_l, n)
+        if aug_on:
+            ka_r, ka_f = aug_keys(rng, 2)
+            real_in = augment_pipeline(ka_r, real, state.ada_p)
+        else:
+            real_in = real
+
+        def maybe_aug_fake(fake):
+            # shared draw between the D and G losses: the augmented fake
+            # forward stays identical HLO in both, preserving the CSE that
+            # makes the fused step fast
+            return augment_pipeline(ka_f, fake, state.ada_p) if aug_on else fake
 
         def d_loss_fn(d_params):
             fake = jax.lax.stop_gradient(
-                gan.generator.apply(state.g_params, z, fake_labels)
+                maybe_aug_fake(gan.generator.apply(state.g_params, z, fake_labels))
             )
-            return d_loss_with_aux(d_params, real, labels, fake, fake_labels, state.step)
+            return d_loss_with_aux(d_params, real_in, labels, fake, fake_labels, state.step)
 
         def g_loss_fn(g_params):
-            fake = gan.generator.apply(g_params, z, fake_labels)
+            fake = maybe_aug_fake(gan.generator.apply(g_params, z, fake_labels))
             # current (pre-update) D: simultaneous gradients; the forward
             # here is identical HLO to the one in d_loss_fn -> XLA CSE
             # computes G(z) and D(fake) once for both losses.
@@ -270,7 +331,7 @@ def make_train_step(
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
         d_params, d_opt_state, d_grads = d_update(state, d_grads)
         return finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
-                      d_opt_state, g_loss, g_grads)
+                      d_opt_state, g_loss, g_grads, n)
 
     return fused_step if tcfg.fused_step else alternating_step
 
