@@ -38,6 +38,10 @@ ARMS = {
         "train.d_opt.lr": "4e-4",
         "train.g_opt.lr": "1e-4",
     },
+    # ADA (round-2 feature): adaptive discriminator augmentation, alone
+    # and on top of the shipped r1=0.1 default
+    "ada": {"train.r1_gamma": "0.0", "train.ada_target": "0.6"},
+    "r1_01_ada": {"train.r1_gamma": "0.1", "train.ada_target": "0.6"},
 }
 
 
