@@ -1,0 +1,53 @@
+"""Production-shaped training run: every round-2 throughput/quality
+feature enabled together.
+
+    # one-time: pre-decode the dataset into uint8 memmap shards
+    python -m locate_tpu pack celeba_64 data.path=/data/celeba --out=/data/celeba_packed
+
+    python examples/train_production.py /data/celeba_packed [total_steps]
+
+What this turns on (all config, no code):
+  * packed input (`data.dataset=packed`): steady-state host cost is a
+    page-cache memcpy + flip — no per-epoch JPEG decode;
+  * `train.steps_per_call=8`: each compiled dispatch scans 8 optimizer
+    steps over a stacked batch (identical trajectory, ~8x less dispatch
+    overhead — cadences must be multiples of 8);
+  * lazy R1 (preset default, gamma 0.1) — the dynamics-sweep winner;
+  * adaptive discriminator augmentation (`ada_target=0.6`) — for
+    limited-data sets; D sees aug(x), p adapts online without recompile;
+  * bf16 stochastically-rounded EMA shadow (`ema_dtype=bfloat16`) —
+    halves the shadow's HBM, unbiased accumulation;
+  * DP over every available chip (preset `parallel` default).
+"""
+
+import sys
+
+import locate_tpu as lt
+
+
+def main() -> None:
+    packed_dir = sys.argv[1] if len(sys.argv) > 1 else ""
+    total_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    overrides = {
+        "data.dataset": "packed" if packed_dir else "synthetic",
+        "train.steps_per_call": "8",
+        "train.log_every": "200",
+        "train.sample_every": "2000",
+        "train.checkpoint_every": "2000",
+        "train.ada_target": "0.6",
+        "train.ema_dtype": "bfloat16",
+        "train.async_checkpoint": "true",
+    }
+    if packed_dir:
+        overrides["data.path"] = packed_dir
+    cfg = lt.get_config("celeba_64", overrides)
+    state = lt.train(cfg, total_steps=total_steps)
+    print(
+        f"finished at step {int(state.step)}; "
+        f"augment p ended at {float(state.ada_p):.3f}; "
+        f"samples in {cfg.workdir}/samples"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -398,7 +398,15 @@ def get_config(name: str = "cifar10_32", overrides: Optional[Dict[str, Any]] = N
         raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
     cfg = PRESETS[name]()
     if overrides:
-        for key, value in overrides.items():
+        # Overrides apply one dataclasses.replace at a time, and each
+        # replace re-validates (__post_init__). Keys whose validation
+        # constrains OTHER fields (steps_per_call vs the cadences) apply
+        # last so users can pass overrides in any order.
+        items = sorted(
+            overrides.items(),
+            key=lambda kv: kv[0] == "train.steps_per_call",
+        )
+        for key, value in items:
             cfg = apply_override(cfg, key, value)
     return cfg
 

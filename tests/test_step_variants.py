@@ -193,3 +193,21 @@ def test_train_loop_steps_per_call(tiny_config, tmp_path):
     m2 = {s: m for s, m in l2}
     np.testing.assert_allclose(m1[4]["d_loss"], m2[4]["d_loss"], rtol=0.2)
     assert np.isfinite(list(m2[4].values())).all()
+
+
+def test_steps_per_call_override_order_independent():
+    """get_config applies constraint-bearing overrides last, so users can
+    pass steps_per_call before or after the cadences it validates
+    against."""
+    from locate_tpu.config import get_config
+
+    ov = {
+        "train.steps_per_call": "8",  # listed FIRST: still must not trip
+        "train.log_every": "200",     # validation against preset log_every
+        "train.sample_every": "2000",
+        "train.checkpoint_every": "2000",
+        "train.eval_every": "0",
+        "train.total_steps": "100000",
+    }
+    cfg = get_config("celeba_64", ov)
+    assert cfg.train.steps_per_call == 8 and cfg.train.log_every == 200
