@@ -399,15 +399,25 @@ def get_config(name: str = "cifar10_32", overrides: Optional[Dict[str, Any]] = N
     cfg = PRESETS[name]()
     if overrides:
         # Overrides apply one dataclasses.replace at a time, and each
-        # replace re-validates (__post_init__). Keys whose validation
-        # constrains OTHER fields (steps_per_call vs the cadences) apply
-        # last so users can pass overrides in any order.
-        items = sorted(
-            overrides.items(),
-            key=lambda kv: kv[0] == "train.steps_per_call",
-        )
-        for key, value in items:
-            cfg = apply_override(cfg, key, value)
+        # replace re-validates (__post_init__), so an override whose
+        # cross-field constraint (e.g. steps_per_call vs the cadences)
+        # only holds once ANOTHER override lands can fail mid-sequence.
+        # Fixed-point application makes the result order-independent for
+        # any acyclic constraint set: retry failed overrides after each
+        # pass, raising the last error only when a full pass makes no
+        # progress (i.e. the override set is genuinely invalid).
+        items = list(overrides.items())
+        while items:
+            remaining, last_err = [], None
+            for key, value in items:
+                try:
+                    cfg = apply_override(cfg, key, value)
+                except ValueError as e:
+                    remaining.append((key, value))
+                    last_err = e
+            if len(remaining) == len(items):
+                raise last_err
+            items = remaining
     return cfg
 
 

@@ -51,7 +51,16 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError("no checkpoint to restore")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+        # Backfill state fields the checkpoint predates (orbax substitutes
+        # None for template leaves absent on disk — e.g. ada_p when
+        # enabling augmentation on a pre-ADA run): keep the template's
+        # initial value instead of tracing None into the step later.
+        if template.ada_p is not None and restored.ada_p is None:
+            restored = restored.replace(ada_p=template.ada_p)
+        return restored
 
     def wait(self):
         self._mgr.wait_until_finished()

@@ -46,6 +46,13 @@ def export_generator(model_cfg: ModelConfig, g_params: Any, path: str) -> str:
     base = path[:-4] if path.endswith(".npz") else path
     os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
     flat = _flatten(jax.device_get(g_params))
+    # np.savez writes ml_dtypes bfloat16 as raw '|V2' void arrays that
+    # np.load cannot hand back to JAX — widen non-numpy dtypes (the bf16
+    # EMA shadow, train.ema_dtype=bfloat16) to float32 for portability.
+    flat = {
+        k: (v.astype(np.float32) if v.dtype.kind == "V" else v)
+        for k, v in flat.items()
+    }
     np.savez(base + ".npz", **flat)
     with open(base + ".json", "w") as f:
         json.dump(dataclasses.asdict(model_cfg), f, indent=2)

@@ -337,9 +337,10 @@ def make_train_step(
 
 
 # Metric keys whose per-window reduction is "last step", not "mean":
-# the non-finite skip streak is a running counter — its value AT the end
-# of the window is the current streak the abort check needs.
-_LAST_METRICS = ("d_nonfinite_streak", "g_nonfinite_streak")
+# running state (the non-finite skip streak, the ADA controller's p) —
+# the value AT the end of the window is the current state the abort
+# check / logs need, and for augment_p it must equal state.ada_p.
+_LAST_METRICS = ("d_nonfinite_streak", "g_nonfinite_streak", "augment_p")
 
 
 def make_multi_step(

@@ -164,3 +164,29 @@ def test_augmented_dp_matches_single_device(tiny_config):
     for a, b in zip(h1, h8):
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=5e-4, atol=5e-4, err_msg=k)
+
+
+def test_augment_p_is_last_metric_under_scan(tiny_config):
+    """With steps_per_call, the logged augment_p must be the window's LAST
+    value (== state.ada_p), not the mean — it is controller state."""
+    from locate_tpu.train.step import make_multi_step
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, augment_p=0.5, ada_target=0.6,
+            ada_speed_kimg=1,
+        ),
+    )
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    multi = jax.jit(make_multi_step(make_train_step(cfg, gan), 2))
+    batch = {
+        "image": _imgs(jax.random.PRNGKey(1), n=8),
+        "label": jnp.zeros((8,), jnp.int32),
+    }
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), batch)
+    state, metrics = multi(state, stacked)
+    np.testing.assert_allclose(
+        float(metrics["augment_p"]), float(state.ada_p), rtol=0, atol=0
+    )

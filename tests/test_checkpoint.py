@@ -92,3 +92,30 @@ def test_restore_missing_raises(tiny_config, tmp_path):
     with pytest.raises(FileNotFoundError):
         mgr.restore(state)
     mgr.close()
+
+
+def test_restore_backfills_new_state_fields(tiny_config, tmp_path):
+    """A pre-ADA checkpoint restored into an ADA-enabled template must
+    backfill ada_p from the template (orbax substitutes None for leaves
+    absent on disk) instead of tracing None into the step."""
+    import dataclasses
+
+    from locate_tpu.io.checkpoint import CheckpointManager
+
+    gan = build_gan(tiny_config)
+    s0 = create_train_state(tiny_config, gan, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=1, async_save=False)
+    mgr.save(s0, step=3)
+    mgr.close()
+
+    cfg_ada = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, ada_target=0.6, augment_p=0.25
+        ),
+    )
+    tmpl = create_train_state(cfg_ada, build_gan(cfg_ada), jax.random.PRNGKey(0))
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), keep=1, async_save=False)
+    restored = mgr2.restore(tmpl)
+    mgr2.close()
+    assert restored.ada_p is not None and float(restored.ada_p) == 0.25
