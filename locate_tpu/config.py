@@ -191,6 +191,11 @@ class TrainConfig:
     # Lazy R1 gradient penalty on D every `r1_interval` steps; 0 disables.
     r1_gamma: float = 0.0
     r1_interval: int = 16
+    # ProGAN-style drift penalty eps * E[D(real)^2] (arXiv 1710.10196
+    # §A.1) — keeps D's logits from running away (the observed
+    # long-horizon failure mode: D saturates, G gradients explode).
+    # 0 disables; the paper uses 1e-3.
+    logit_penalty: float = 0.0
     # --- Discriminator augmentation (StyleGAN2-ADA, arXiv 2006.06676) ---
     # D sees aug(x) for BOTH real and fake (G backprops through it);
     # prevents D memorizing small datasets (ops/augment.py). augment_p is
@@ -246,6 +251,10 @@ class TrainConfig:
             )
         if self.ada_speed_kimg <= 0:
             raise ValueError("ada_speed_kimg must be positive")
+        if self.logit_penalty < 0.0:
+            raise ValueError(
+                f"logit_penalty must be >= 0, got {self.logit_penalty}"
+            )
         k = self.steps_per_call
         if k < 1:
             raise ValueError(f"steps_per_call must be >= 1, got {k}")

@@ -140,6 +140,14 @@ def make_train_step(
             # ADA overfitting heuristic r_t = E[sign(D(real))] (the
             # portion of (augmented) reals D classifies as real)
             aux["ada_r"] = jnp.mean(jnp.sign(real_logits))
+        if tcfg.logit_penalty > 0.0:
+            # drift penalty (ProGAN §A.1): bounds |D(real)| so the game
+            # can't saturate into softplus's flat region
+            drift = tcfg.logit_penalty * jnp.mean(
+                jnp.square(real_logits.astype(jnp.float32))
+            )
+            aux["drift"] = drift
+            loss = loss + drift
         if tcfg.r1_gamma > 0.0:
             # Lazy R1: every r1_interval steps, scaled to keep the expected
             # strength (StyleGAN-style lazy regularization).

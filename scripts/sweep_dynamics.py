@@ -42,6 +42,9 @@ ARMS = {
     # and on top of the shipped r1=0.1 default
     "ada": {"train.r1_gamma": "0.0", "train.ada_target": "0.6"},
     "r1_01_ada": {"train.r1_gamma": "0.1", "train.ada_target": "0.6"},
+    # drift penalty (ProGAN): targets the observed D-saturation failure
+    "lp": {"train.r1_gamma": "0.0", "train.logit_penalty": "1e-3"},
+    "r1_01_lp": {"train.r1_gamma": "0.1", "train.logit_penalty": "1e-3"},
 }
 
 

@@ -62,3 +62,40 @@ def test_ema_identity_at_decay_one():
     ema = {"w": jnp.zeros((3,))}
     out = ema_update(ema, {"w": jnp.ones((3,))}, 1.0)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
+
+
+def test_logit_penalty_golden(tiny_config):
+    """Drift penalty (ProGAN): d_loss gains exactly lp*E[D(real)^2]."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from locate_tpu.models.gan import build_gan
+    from locate_tpu.train.state import create_train_state
+    from locate_tpu.train.step import make_train_step
+
+    def one_step(lp):
+        cfg = dataclasses.replace(
+            tiny_config,
+            train=dataclasses.replace(tiny_config.train, logit_penalty=lp),
+        )
+        gan = build_gan(cfg)
+        state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, gan))
+        batch = {
+            "image": jax.random.uniform(
+                jax.random.PRNGKey(1), (8, 16, 16, 3), minval=-1.0, maxval=1.0
+            ),
+            "label": jnp.zeros((8,), jnp.int32),
+        }
+        _, m = step(state, batch)
+        return {k: float(v) for k, v in m.items()}
+
+    m0 = one_step(0.0)
+    m1 = one_step(1e-2)
+    assert "drift" not in m0 and m1["drift"] > 0.0
+    # same params/batch/latents: the d_loss delta IS the drift term
+    np.testing.assert_allclose(
+        m1["d_loss"] - m0["d_loss"], m1["drift"], rtol=1e-4
+    )
