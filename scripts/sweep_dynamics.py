@@ -87,7 +87,13 @@ def main():
     arms = sys.argv[2:] or list(ARMS)
     eval_every = max(250, steps // 10)
     for name in arms:
-        result = run_arm(name, ARMS[name], steps, eval_every)
+        # "arm@seedK" runs the arm with train.seed=K (multi-seed spread:
+        # GAN trajectories here are chaotic, single runs mislead)
+        base, _, seed = name.partition("@seed")
+        overrides = dict(ARMS[base])
+        if seed:
+            overrides["train.seed"] = seed
+        result = run_arm(name, overrides, steps, eval_every)
         print(json.dumps(result), flush=True)
 
 
