@@ -105,6 +105,9 @@ def main() -> None:
         }
         if k > 1:  # cadences must be multiples of k (set BEFORE k)
             ov.update({
+                # no abort guard in a bench (and its log_every <=
+                # max_nonfinite_skips constraint doesn't apply)
+                "train.max_nonfinite_skips": "0",
                 "train.log_every": str(100 * k),
                 "train.sample_every": str(2000 * k),
                 "train.checkpoint_every": str(2000 * k),

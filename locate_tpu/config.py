@@ -255,6 +255,15 @@ class TrainConfig:
             raise ValueError(
                 f"logit_penalty must be >= 0, got {self.logit_penalty}"
             )
+        if 0 < self.max_nonfinite_skips < self.log_every:
+            # the abort check only observes the streak at log boundaries;
+            # a larger log_every would let training spin dead for up to
+            # log_every - max_nonfinite_skips extra steps
+            raise ValueError(
+                f"log_every={self.log_every} must be <= "
+                f"max_nonfinite_skips={self.max_nonfinite_skips} for the "
+                f"non-finite abort to fire on time"
+            )
         k = self.steps_per_call
         if k < 1:
             raise ValueError(f"steps_per_call must be >= 1, got {k}")

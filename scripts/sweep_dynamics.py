@@ -61,6 +61,9 @@ def run_arm(name: str, overrides: dict, steps: int, eval_every: int) -> dict:
         "train.eval_every": str(eval_every),
         "train.eval_samples": "512",
         "train.tensorboard": "false",
+        # abort only checks at log boundaries (= eval_every here); keep
+        # the streak limit aligned so the config validates
+        "train.max_nonfinite_skips": str(eval_every),
     }
     o.update(overrides)
     cfg = get_config("celeba_64", o)

@@ -96,3 +96,16 @@ def test_nonfinite_streak_metric(tiny_config):
     assert all(
         bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(state.d_params)
     )
+
+
+def test_log_every_must_not_exceed_skip_limit():
+    """The non-finite abort is only checked at log boundaries; the config
+    rejects a log_every that would delay it past the streak limit."""
+    import pytest
+
+    from locate_tpu.config import TrainConfig
+
+    with pytest.raises(ValueError, match="fire on time"):
+        TrainConfig(max_nonfinite_skips=5, log_every=100)
+    TrainConfig(max_nonfinite_skips=100, log_every=100)
+    TrainConfig(max_nonfinite_skips=0, log_every=100)  # guard disabled
