@@ -102,12 +102,13 @@ def main() -> None:
             # reference's step has no gradient penalty, so bench pins it
             # off to keep the timed program comparable across rounds.
             "train.r1_gamma": "0.0",
+            # Likewise pin the non-finite guard OFF for EVERY benched
+            # program (k=1 and k>1 must compile the same step body, and
+            # round 1's preset had no guard either).
+            "train.max_nonfinite_skips": "0",
         }
         if k > 1:  # cadences must be multiples of k (set BEFORE k)
             ov.update({
-                # no abort guard in a bench (and its log_every <=
-                # max_nonfinite_skips constraint doesn't apply)
-                "train.max_nonfinite_skips": "0",
                 "train.log_every": str(100 * k),
                 "train.sample_every": str(2000 * k),
                 "train.checkpoint_every": str(2000 * k),

@@ -6,6 +6,7 @@ deterministic continuation."""
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Optional
 
@@ -50,17 +51,45 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no checkpoint to restore")
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract)
-        )
-        # Backfill state fields the checkpoint predates (orbax substitutes
-        # None for template leaves absent on disk — e.g. ada_p when
-        # enabling augmentation on a pre-ADA run): keep the template's
-        # initial value instead of tracing None into the step later.
-        if template.ada_p is not None and restored.ada_p is None:
-            restored = restored.replace(ada_p=template.ada_p)
-        return restored
+        # Enabling a feature on resume means the template carries state
+        # fields the checkpoint predates. Orbax handles a missing SCALAR
+        # leaf by substituting None but refuses a missing SUBTREE
+        # (structure mismatch), so: try the full template, then retry
+        # with each optional feature field blanked until the structures
+        # match, and backfill the blanked/None fields from the template's
+        # initial values. Disabling a feature on resume (checkpoint HAS
+        # the field, template doesn't) still raises orbax's mismatch —
+        # that direction would silently drop state.
+        optional = ("ema_params", "ada_p")
+        candidates = [
+            blank
+            for r in range(len(optional) + 1)
+            for blank in itertools.combinations(optional, r)
+        ]
+        last_err = None
+        for blank in candidates:
+            t = template
+            for field in blank:
+                if getattr(t, field) is None:
+                    break  # nothing to blank; combination is redundant
+                t = t.replace(**{field: None})
+            else:
+                abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, t)
+                try:
+                    restored = self._mgr.restore(
+                        step, args=ocp.args.StandardRestore(abstract)
+                    )
+                except ValueError as e:
+                    last_err = e
+                    continue
+                fills = {
+                    field: getattr(template, field)
+                    for field in optional
+                    if getattr(template, field) is not None
+                    and getattr(restored, field) is None
+                }
+                return restored.replace(**fills) if fills else restored
+        raise last_err
 
     def wait(self):
         self._mgr.wait_until_finished()

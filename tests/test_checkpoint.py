@@ -119,3 +119,40 @@ def test_restore_backfills_new_state_fields(tiny_config, tmp_path):
     restored = mgr2.restore(tmpl)
     mgr2.close()
     assert restored.ada_p is not None and float(restored.ada_p) == 0.25
+
+
+def test_restore_backfills_ema_enabled_on_resume(tiny_config, tmp_path):
+    """Enable EMA on a run checkpointed without it: orbax rejects the
+    missing SUBTREE outright, so restore retries with the field blanked
+    and backfills the template's fresh EMA."""
+    import dataclasses
+
+    from locate_tpu.io.checkpoint import CheckpointManager
+
+    cfg_off = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, ema_decay=0.0),
+    )
+    gan = build_gan(cfg_off)
+    s0 = create_train_state(cfg_off, gan, jax.random.PRNGKey(0))
+    assert s0.ema_params is None
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=1, async_save=False)
+    mgr.save(s0, step=2)
+    mgr.close()
+
+    cfg_on = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, ema_decay=0.99),
+    )
+    tmpl = create_train_state(cfg_on, build_gan(cfg_on), jax.random.PRNGKey(7))
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), keep=1, async_save=False)
+    restored = mgr2.restore(tmpl)
+    mgr2.close()
+    assert restored.ema_params is not None
+    # params came from DISK (seed 0), ema backfilled from TEMPLATE (seed 7)
+    for a, b in zip(jax.tree.leaves(restored.g_params), jax.tree.leaves(s0.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(restored.ema_params), jax.tree.leaves(tmpl.ema_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

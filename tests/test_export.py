@@ -24,11 +24,9 @@ def test_export_roundtrip(tiny_config, tmp_path):
     assert gen2.config.resolution == tiny_config.model.resolution
 
 
-def test_export_bf16_ema_round_trip(tiny_config):
+def test_export_bf16_ema_round_trip(tiny_config, tmp_path):
     """train.ema_dtype=bfloat16 shadows must export to a LOADABLE artifact
     (np.savez writes ml_dtypes bf16 as raw void arrays -> widened to f32)."""
-    import tempfile
-
     import jax.numpy as jnp
 
     from locate_tpu.train.state import create_train_state
@@ -38,13 +36,12 @@ def test_export_bf16_ema_round_trip(tiny_config):
     ema_bf16 = jax.tree.map(
         lambda p: jnp.asarray(p, jnp.bfloat16), state.g_params
     )
-    with tempfile.TemporaryDirectory() as d:
-        path = export_generator(tiny_config.model, ema_bf16, d + "/gen")
-        gen, params = load_generator(path)
-        z = jax.random.normal(jax.random.PRNGKey(0), (2, tiny_config.model.latent_dim))
-        out = gen.apply(params, z, None)
-        assert np.isfinite(np.asarray(out, np.float32)).all()
-        # widened leaves carry the bf16 VALUES (cast, not garbage)
-        leaf_b = jax.tree.leaves(params)[0]
-        leaf_ref = np.asarray(jax.tree.leaves(ema_bf16)[0], np.float32)
-        np.testing.assert_array_equal(np.asarray(leaf_b), leaf_ref)
+    path = export_generator(tiny_config.model, ema_bf16, str(tmp_path / "gen"))
+    gen, params = load_generator(path)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, tiny_config.model.latent_dim))
+    out = gen.apply(params, z, None)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # widened leaves carry the bf16 VALUES (cast, not garbage)
+    leaf_b = jax.tree.leaves(params)[0]
+    leaf_ref = np.asarray(jax.tree.leaves(ema_bf16)[0], np.float32)
+    np.testing.assert_array_equal(np.asarray(leaf_b), leaf_ref)
