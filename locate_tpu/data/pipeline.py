@@ -168,24 +168,6 @@ class BatchProducer:
         self._stop.set()
 
 
-def stack_batches(host_batches: Iterator[Batch], k: int) -> Iterator[Batch]:
-    """Group `k` consecutive host batches into one [k, batch, ...] stacked
-    batch (TrainConfig.steps_per_call: one device dispatch scans k train
-    steps, so the transfer granularity becomes k batches)."""
-    if k <= 1:
-        yield from host_batches
-        return
-    while True:
-        group = []
-        for b in host_batches:
-            group.append(b)
-            if len(group) == k:
-                break
-        if len(group) < k:
-            return  # upstream exhausted (producers are normally infinite)
-        yield {key: np.stack([g[key] for g in group]) for key in group[0]}
-
-
 def device_prefetch(
     host_batches: Iterator[Batch],
     sharding: Optional[jax.sharding.Sharding] = None,
@@ -272,9 +254,16 @@ def make_input_pipeline(
         raise ValueError(f"global_batch {global_batch} not divisible by {pc} hosts")
     dataset = make_dataset(data_cfg)
     per_host = global_batch // pc
+    k = steps_per_call
+    # With steps_per_call the producer assembles one (k*per_host) batch
+    # per dispatch — identical example/flip order to k consecutive
+    # per_host batches (the epoch stream is consumed sequentially either
+    # way) — and the [k, per_host, ...] scan layout is a FREE reshape
+    # view, so all assembly/copy work stays on the producer thread
+    # (stack_batches on the consumer thread would re-copy k batches).
     producer = BatchProducer(
         dataset,
-        per_host,
+        per_host * k,
         shard_index=pi,
         shard_count=pc,
         random_flip=data_cfg.random_flip,
@@ -282,6 +271,15 @@ def make_input_pipeline(
         prefetch=data_cfg.prefetch,
         skip_examples=skip_batches * per_host,
     )
-    host_it = stack_batches(iter(producer), steps_per_call)
+    if k == 1:
+        host_it = iter(producer)
+    else:
+        host_it = (
+            {
+                key: v.reshape(k, per_host, *v.shape[1:])
+                for key, v in b.items()
+            }
+            for b in producer
+        )
     it = device_prefetch(host_it, sharding, depth=data_cfg.prefetch)
     return InputPipeline(producer, it, dataset)

@@ -114,3 +114,35 @@ def test_input_pipeline_closeable():
         assert b["image"].shape == (8, 16, 16, 3)
     time.sleep(1.0)  # producer polls its stop event at 0.5s
     assert threading.active_count() <= before
+
+
+def test_pipeline_steps_per_call_stacking_order():
+    """make_input_pipeline(steps_per_call=k) must deliver exactly the same
+    examples, in the same order and with the same flips, as k consecutive
+    batches of the k=1 pipeline (the producer assembles one k*B batch and
+    the scan layout is a reshape view)."""
+    from locate_tpu.config import DataConfig
+    from locate_tpu.data.pipeline import make_input_pipeline
+
+    dc = DataConfig(dataset="synthetic", resolution=16, random_flip=True)
+
+    def first_batches(k, n):
+        p = make_input_pipeline(
+            dc, 8, seed=11, steps_per_call=k,
+            process_index=0, process_count=1,
+        )
+        try:
+            return [next(iter(p)) for _ in range(n)]
+        finally:
+            p.close()
+
+    flat = first_batches(1, 4)
+    stacked = first_batches(2, 2)
+    for ci, call in enumerate(stacked):
+        img = np.asarray(call["image"])
+        lab = np.asarray(call["label"])
+        assert img.shape[:2] == (2, 8)
+        for j in range(2):
+            ref = flat[ci * 2 + j]
+            np.testing.assert_array_equal(img[j], np.asarray(ref["image"]))
+            np.testing.assert_array_equal(lab[j], np.asarray(ref["label"]))
