@@ -211,3 +211,34 @@ def test_steps_per_call_override_order_independent():
     }
     cfg = get_config("celeba_64", ov)
     assert cfg.train.steps_per_call == 8 and cfg.train.log_every == 200
+
+
+def test_multi_step_fused_flavor(tiny_config):
+    """make_multi_step composes with the fused simultaneous step too: one
+    scan-of-2 call == 2 sequential fused-step calls."""
+    from locate_tpu.train.step import make_multi_step
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, fused_step=True),
+    )
+    gan = build_gan(cfg)
+    step = jax.jit(make_train_step(cfg, gan))
+    multi = jax.jit(make_multi_step(make_train_step(cfg, gan), 2))
+    batches = [make_batch(cfg, jax.random.PRNGKey(i)) for i in range(2)]
+
+    s_seq = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    for b in batches:
+        s_seq, _ = step(s_seq, b)
+    s_scan = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), batches[0], batches[1])
+    s_scan, m = multi(s_scan, stacked)
+
+    assert int(s_scan.step) == int(s_seq.step) == 2
+    z = gan.sample_latents(jax.random.PRNGKey(9), 4)
+    np.testing.assert_allclose(
+        gan.generator.apply(s_seq.g_params, z, None),
+        gan.generator.apply(s_scan.g_params, z, None),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert np.isfinite(list(jax.device_get(m).values())).all()
