@@ -259,6 +259,47 @@ def cmd_bench(argv: List[str]) -> int:
     return 0
 
 
+def cmd_bench_sample(argv: List[str]) -> int:
+    """`bench-sample PRESET [overrides] [--batch N] [--steps N]` — serving
+    throughput: images/sec generating with the (EMA-shaped) generator in
+    `train.compute_dtype`, device compute + host transfer included
+    (exactly what a sampling service pays per request batch)."""
+    import json
+    import time
+
+    import jax
+
+    from locate_tpu.io.sampling import generate_samples
+    from locate_tpu.models.gan import build_gan
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    batch = int(_str_flag(flags, "batch", "64"))
+    steps = int(_str_flag(flags, "steps", "20"))
+    gan = build_gan(cfg)
+    params = gan.init(jax.random.PRNGKey(0))["generator"]
+    key = jax.random.PRNGKey(1)
+    # compile + warmup
+    generate_samples(gan, params, key, batch)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            generate_samples(gan, params, jax.random.fold_in(key, i), batch)
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": (
+            f"generator sampling images/sec ({cfg.model.resolution}px, "
+            f"batch {batch}, {cfg.train.compute_dtype}, incl. host transfer)"
+        ),
+        "value": round(steps * batch / best, 2),
+        "unit": "images/sec",
+        "sec_per_batch": round(best / steps, 5),
+    }))
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "sample": cmd_sample,
@@ -267,6 +308,7 @@ COMMANDS = {
     "pack": cmd_pack,
     "bench": cmd_bench,
     "bench-input": cmd_bench_input,
+    "bench-sample": cmd_bench_sample,
 }
 
 
