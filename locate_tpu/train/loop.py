@@ -22,6 +22,17 @@ from locate_tpu.utils.metrics import MetricsLogger
 from locate_tpu.utils.profiling import StepTimer, trace_annotation
 
 
+def _dump_config(cfg: Config) -> None:
+    """Write the resolved config to <workdir>/config.json (dataclass tree
+    as JSON; tuples/other non-JSON leaves stringified)."""
+    import dataclasses
+    import json
+
+    os.makedirs(cfg.workdir, exist_ok=True)
+    with open(os.path.join(cfg.workdir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+
 def train(
     cfg: Config,
     total_steps: Optional[int] = None,
@@ -69,8 +80,12 @@ def train(
 
         timer = StepTimer(cfg.train.global_batch * k)
         logger = MetricsLogger(
-            os.path.join(cfg.workdir, "tb") if cfg.train.tensorboard else None
+            os.path.join(cfg.workdir, "tb") if cfg.train.tensorboard else None,
+            jsonl_path=os.path.join(cfg.workdir, "metrics.jsonl"),
         )
+        # reproducibility: the fully-resolved config this run executes
+        # (presets + overrides), written once per train() invocation
+        _dump_config(cfg)
         sample_key = jax.random.PRNGKey(cfg.train.seed + 1)  # fixed grid latents
         metrics = {}
         eval_extractor = None
@@ -153,6 +168,6 @@ def train(
         finally:
             # stop the producer thread and release prefetched HBM batches
             batches.close()
-            logger.flush()
+            logger.close()
             ckpt.close()
     return state

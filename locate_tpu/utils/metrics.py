@@ -1,23 +1,32 @@
 """Metrics/observability (SURVEY.md §6): the reference printed scalar
 losses and dumped sample grids; the rebuild keeps those two channels and
-adds optional TensorBoard (scalars + image grids) via tf.summary.
+adds a machine-readable metrics.jsonl in the workdir plus optional
+TensorBoard (scalars + image grids) via tf.summary.
 
 TensorFlow import is lazy and only happens when TB logging is enabled —
 importing TF costs ~10s and is never needed in the hot path."""
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Dict, Optional
 
 import numpy as np
 
 
 class MetricsLogger:
-    """stdout + optional TensorBoard. `log_scalars` / `log_images` are
-    no-ops for TB when `logdir` is None."""
+    """stdout + metrics.jsonl (when `jsonl_path` set) + optional
+    TensorBoard. `log_scalars` / `log_images` are no-ops for TB when
+    `logdir` is None."""
 
-    def __init__(self, logdir: Optional[str] = None):
+    def __init__(self, logdir: Optional[str] = None,
+                 jsonl_path: Optional[str] = None):
         self._writer = None
+        self._jsonl = None
+        if jsonl_path:
+            os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
+            self._jsonl = open(jsonl_path, "a", buffering=1)  # line-buffered
         if logdir:
             import tensorflow as tf  # lazy: heavy import
 
@@ -30,6 +39,11 @@ class MetricsLogger:
         bad = [k for k, v in scalars.items() if not np.isfinite(v)]
         suffix = f" NONFINITE={bad}" if bad else ""
         print(f"[locate-tpu] step {step} {parts}{suffix}", flush=True)
+        if self._jsonl is not None:
+            self._jsonl.write(
+                json.dumps({"step": step, **{k: float(v) for k, v in scalars.items()}})
+                + "\n"
+            )
         if self._writer is not None:
             import tensorflow as tf
 
@@ -46,5 +60,13 @@ class MetricsLogger:
             tf.summary.image(tag, images_u8[:16], max_outputs=16)
 
     def flush(self) -> None:
+        if self._jsonl is not None:
+            self._jsonl.flush()
         if self._writer is not None:
             self._writer.flush()
+
+    def close(self) -> None:
+        self.flush()
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None

@@ -109,3 +109,36 @@ def test_log_every_must_not_exceed_skip_limit():
         TrainConfig(max_nonfinite_skips=5, log_every=100)
     TrainConfig(max_nonfinite_skips=100, log_every=100)
     TrainConfig(max_nonfinite_skips=0, log_every=100)  # guard disabled
+
+
+def test_run_artifacts_config_and_metrics_jsonl(tiny_config, tmp_path):
+    """Every train() run leaves a machine-readable record: the resolved
+    config.json and an append-only metrics.jsonl at log cadence."""
+    import json
+
+    from locate_tpu.train.loop import train
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, log_every=2, sample_every=0, checkpoint_every=0
+        ),
+        workdir=str(tmp_path / "run"),
+    )
+    train(cfg, total_steps=4, resume=False)
+
+    with open(tmp_path / "run" / "config.json") as f:
+        dumped = json.load(f)
+    assert dumped["train"]["global_batch"] == cfg.train.global_batch
+    assert dumped["model"]["resolution"] == cfg.model.resolution
+
+    lines = [
+        json.loads(l)
+        for l in open(tmp_path / "run" / "metrics.jsonl")
+    ]
+    assert [l["step"] for l in lines] == [2, 4]
+    assert all(np.isfinite(l["d_loss"]) for l in lines)
+    # resume appends rather than truncating
+    train(cfg, total_steps=6, resume=False)
+    lines2 = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert len(lines2) > len(lines)
