@@ -260,10 +260,13 @@ def cmd_bench(argv: List[str]) -> int:
 
 
 def cmd_bench_sample(argv: List[str]) -> int:
-    """`bench-sample PRESET [overrides] [--batch N] [--steps N]` — serving
-    throughput: images/sec generating with the (EMA-shaped) generator in
+    """`bench-sample PRESET [overrides] [--batch N] [--steps N]
+    [--checkpoint DIR]` — serving throughput: images/sec generating in
     `train.compute_dtype`, device compute + host transfer included
-    (exactly what a sampling service pays per request batch)."""
+    (exactly what a sampling service pays per request batch). Loads the
+    latest checkpoint's (EMA) generator when one exists (or --checkpoint
+    is given); otherwise times freshly initialized weights — throughput
+    is weight-value-independent either way."""
     import json
     import time
 
@@ -277,8 +280,29 @@ def cmd_bench_sample(argv: List[str]) -> int:
     cfg = get_config(preset, overrides)
     batch = int(_str_flag(flags, "batch", "64"))
     steps = int(_str_flag(flags, "steps", "20"))
+    if batch < 1 or steps < 1:
+        raise SystemExit("usage: --batch and --steps must be >= 1")
     gan = build_gan(cfg)
     params = gan.init(jax.random.PRNGKey(0))["generator"]
+    ckpt_dir = _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints"
+    weights = "init"
+    try:
+        from locate_tpu.io.checkpoint import CheckpointManager
+        from locate_tpu.train.state import create_train_state
+
+        mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(
+                create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
+            )
+            params = (
+                state.ema_params if state.ema_params is not None
+                else state.g_params
+            )
+            weights = "ema" if state.ema_params is not None else "g"
+        mgr.close()
+    except FileNotFoundError:
+        pass  # no checkpoints: time init weights
     key = jax.random.PRNGKey(1)
     # compile + warmup
     generate_samples(gan, params, key, batch)
@@ -296,6 +320,7 @@ def cmd_bench_sample(argv: List[str]) -> int:
         "value": round(steps * batch / best, 2),
         "unit": "images/sec",
         "sec_per_batch": round(best / steps, 5),
+        "weights": weights,
     }))
     return 0
 

@@ -79,13 +79,22 @@ def train(
         )
 
         timer = StepTimer(cfg.train.global_batch * k)
+        # Run artifacts: only process 0 writes (multi-host processes share
+        # the workdir; orbax coordinates its own writes, these don't).
+        # metrics.jsonl appends when resuming and truncates on a fresh
+        # run so the file describes exactly one training trajectory.
+        primary = jax.process_index() == 0
         logger = MetricsLogger(
-            os.path.join(cfg.workdir, "tb") if cfg.train.tensorboard else None,
-            jsonl_path=os.path.join(cfg.workdir, "metrics.jsonl"),
+            os.path.join(cfg.workdir, "tb")
+            if (cfg.train.tensorboard and primary) else None,
+            jsonl_path=(
+                os.path.join(cfg.workdir, "metrics.jsonl") if primary else None
+            ),
+            append=int(state.step) > 0,
         )
-        # reproducibility: the fully-resolved config this run executes
-        # (presets + overrides), written once per train() invocation
-        _dump_config(cfg)
+        if primary:
+            # reproducibility: the fully-resolved config this run executes
+            _dump_config(cfg)
         sample_key = jax.random.PRNGKey(cfg.train.seed + 1)  # fixed grid latents
         metrics = {}
         eval_extractor = None

@@ -21,16 +21,20 @@ class MetricsLogger:
     `logdir` is None."""
 
     def __init__(self, logdir: Optional[str] = None,
-                 jsonl_path: Optional[str] = None):
+                 jsonl_path: Optional[str] = None, append: bool = True):
         self._writer = None
         self._jsonl = None
-        if jsonl_path:
-            os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
-            self._jsonl = open(jsonl_path, "a", buffering=1)  # line-buffered
         if logdir:
-            import tensorflow as tf  # lazy: heavy import
+            import tensorflow as tf  # lazy: heavy import (before the
+            # jsonl open so an ImportError can't leak the file handle)
 
             self._writer = tf.summary.create_file_writer(logdir)
+        if jsonl_path:
+            os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
+            # append on resume; a fresh run truncates so the artifact
+            # describes exactly one training trajectory
+            mode = "a" if append else "w"
+            self._jsonl = open(jsonl_path, mode, buffering=1)  # line-buffered
 
     def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         parts = " ".join(
@@ -40,10 +44,13 @@ class MetricsLogger:
         suffix = f" NONFINITE={bad}" if bad else ""
         print(f"[locate-tpu] step {step} {parts}{suffix}", flush=True)
         if self._jsonl is not None:
-            self._jsonl.write(
-                json.dumps({"step": step, **{k: float(v) for k, v in scalars.items()}})
-                + "\n"
-            )
+            # json.dumps would emit bare NaN/Infinity tokens (invalid
+            # JSON) for non-finite values — map them to null
+            record = {
+                k: (float(v) if np.isfinite(v) else None)
+                for k, v in scalars.items()
+            }
+            self._jsonl.write(json.dumps({"step": step, **record}) + "\n")
         if self._writer is not None:
             import tensorflow as tf
 

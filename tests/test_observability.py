@@ -138,7 +138,16 @@ def test_run_artifacts_config_and_metrics_jsonl(tiny_config, tmp_path):
     ]
     assert [l["step"] for l in lines] == [2, 4]
     assert all(np.isfinite(l["d_loss"]) for l in lines)
-    # resume appends rather than truncating
+    # a FRESH run into the same workdir truncates (one trajectory per file)
     train(cfg, total_steps=6, resume=False)
     lines2 = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
-    assert len(lines2) > len(lines)
+    assert [l["step"] for l in lines2] == [2, 4, 6]
+    # a RESUMED run appends
+    cfg_ck = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train, checkpoint_every=6),
+    )
+    train(cfg_ck, total_steps=6, resume=False)   # fresh: [2, 4, 6] + ckpt@6
+    train(cfg_ck, total_steps=10, resume=True)   # resumes at 6, appends
+    lines3 = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert [l["step"] for l in lines3] == [2, 4, 6, 8, 10]
