@@ -94,6 +94,13 @@ def make_train_step(
         d_apply_r1 = build_discriminator(
             _dc.replace(gan.config, use_pallas=False), gan.compute_dtype
         ).apply
+    if tcfg.r1_gamma > 0.0:
+        # Rematerialize the penalty's D forward: differentiating the R1
+        # gradient w.r.t. params (grad-of-grad) otherwise keeps every
+        # jvp/transpose intermediate live in f32 — measured OOM at
+        # 128^2 x batch 128 on a 16 GB chip. The recompute costs extra
+        # FLOPs only on the 1-in-r1_interval steps where R1 fires.
+        d_apply_r1 = jax.checkpoint(d_apply_r1)
 
     def pmean(tree):
         if axis_name is None:
