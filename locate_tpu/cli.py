@@ -8,6 +8,7 @@ preset configs and key=value overrides.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional
 
@@ -144,14 +145,33 @@ def cmd_export(argv: List[str]) -> int:
 def cmd_eval(argv: List[str]) -> int:
     """Offline FID/KID eval of the latest checkpoint vs the config's
     dataset (rFID/rKID with the built-in random extractor; pass
-    --extractor=path.npz for vendored weights)."""
+    --extractor=path.npz for vendored weights).
+
+    Stats escape hatch (no Inception weights needed on this host):
+      --ref-stats=PATH.npz   real-side (mu, sigma) computed externally
+                             (pytorch-fid --save-stats convention) —
+                             replaces the dataset entirely; TRUE FID when
+                             paired with a matching --extractor.
+      --stats-out=PATH.npz   write the GENERATED samples' (mu, sigma)
+                             (keys mu/sigma) for external FID computation.
+      --features-out=PATH.npz  write raw feature matrices
+                             (fake_features [+ real_features]) for
+                             external FID/KID/PR computation.
+    """
     import json
 
     import jax
+    import numpy as np
 
     from locate_tpu.data.datasets import make_dataset
     from locate_tpu.io.checkpoint import CheckpointManager
-    from locate_tpu.io.fid import NpzFeatureExtractor, RandomConvFeatures, evaluate_generator
+    from locate_tpu.io.fid import (
+        NpzFeatureExtractor,
+        RandomConvFeatures,
+        evaluate_generator,
+        load_stats,
+        save_stats,
+    )
     from locate_tpu.models.gan import build_gan
     from locate_tpu.train.state import create_train_state
 
@@ -170,11 +190,28 @@ def cmd_eval(argv: List[str]) -> int:
         if extractor_path
         else RandomConvFeatures()
     )
+    ref_stats_path = _str_flag(flags, "ref-stats")
+    stats_out = _str_flag(flags, "stats-out")
+    features_out = _str_flag(flags, "features-out")
+    arrays: dict = {}
     result = evaluate_generator(
-        gan, g_params, make_dataset(cfg.data),
+        gan, g_params,
+        None if ref_stats_path else make_dataset(cfg.data),
         n_samples=int(_str_flag(flags, "samples", "1024")),
         extractor=extractor,
+        ref_stats=load_stats(ref_stats_path) if ref_stats_path else None,
+        out=arrays if (stats_out or features_out) else None,
     )
+    if stats_out:
+        save_stats(stats_out, arrays["fake_mu"], arrays["fake_sigma"],
+                   n=np.int64(result["n_fake"]))
+        result["stats_out"] = stats_out
+    if features_out:
+        feats = {"fake_features": arrays["fake_features"]}
+        if "real_features" in arrays:
+            feats["real_features"] = arrays["real_features"]
+        np.savez(features_out, **feats)
+        result["features_out"] = features_out
     result["step"] = int(state.step)
     print(json.dumps(result))
     mgr.close()
@@ -286,23 +323,26 @@ def cmd_bench_sample(argv: List[str]) -> int:
     params = gan.init(jax.random.PRNGKey(0))["generator"]
     ckpt_dir = _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints"
     weights = "init"
-    try:
+    # Only open a manager when a checkpoint dir actually exists —
+    # CheckpointManager(create=True) would mkdir <workdir>/checkpoints as
+    # a side effect of merely benchmarking init weights.
+    if os.path.isdir(ckpt_dir):
         from locate_tpu.io.checkpoint import CheckpointManager
         from locate_tpu.train.state import create_train_state
 
         mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
-        if mgr.latest_step() is not None:
-            state = mgr.restore(
-                create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
-            )
-            params = (
-                state.ema_params if state.ema_params is not None
-                else state.g_params
-            )
-            weights = "ema" if state.ema_params is not None else "g"
-        mgr.close()
-    except FileNotFoundError:
-        pass  # no checkpoints: time init weights
+        try:
+            if mgr.latest_step() is not None:
+                state = mgr.restore(
+                    create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
+                )
+                params = (
+                    state.ema_params if state.ema_params is not None
+                    else state.g_params
+                )
+                weights = "ema" if state.ema_params is not None else "g"
+        finally:
+            mgr.close()
     key = jax.random.PRNGKey(1)
     # compile + warmup
     generate_samples(gan, params, key, batch)

@@ -191,6 +191,10 @@ class TrainConfig:
     # Lazy R1 gradient penalty on D every `r1_interval` steps; 0 disables.
     r1_gamma: float = 0.0
     r1_interval: int = 16
+    # Rematerialize the penalty's D forward (halves grad-of-grad live
+    # memory; measured OOM fix at 128^2 b64 on 16 GB). Off only for
+    # profiling the remat cost itself (scripts/profile_r1.py).
+    r1_remat: bool = True
     # ProGAN-style drift penalty eps * E[D(real)^2] (arXiv 1710.10196
     # §A.1) — keeps D's logits from running away (the observed
     # long-horizon failure mode: D saturates, G gradients explode).

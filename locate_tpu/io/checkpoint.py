@@ -66,7 +66,7 @@ class CheckpointManager:
             for r in range(len(optional) + 1)
             for blank in itertools.combinations(optional, r)
         ]
-        last_err = None
+        first_err = None
         for blank in candidates:
             t = template
             for field in blank:
@@ -80,16 +80,35 @@ class CheckpointManager:
                         step, args=ocp.args.StandardRestore(abstract)
                     )
                 except ValueError as e:
-                    last_err = e
+                    # Keep the FULL-template error: it names the real
+                    # structure mismatch. Later candidates blank fields on
+                    # purpose, so their errors describe the wrong variant.
+                    if first_err is None:
+                        first_err = e
                     continue
-                fills = {
-                    field: getattr(template, field)
-                    for field in optional
-                    if getattr(template, field) is not None
-                    and getattr(restored, field) is None
-                }
+                fills = {}
+                for field in optional:
+                    if (getattr(template, field) is None
+                            or getattr(restored, field) is not None):
+                        continue
+                    if field == "ema_params":
+                        # Enabling EMA on resume: seed the shadow from the
+                        # RESTORED (trained) generator, not the template's
+                        # fresh random init — sampling/export prefer
+                        # ema_params, so a template-seeded shadow would
+                        # emit near-noise for ~1/(1-decay) steps.
+                        from locate_tpu.objectives.ema import ema_init
+
+                        tmpl_leaves = jax.tree.leaves(template.ema_params)
+                        fills[field] = ema_init(
+                            restored.g_params,
+                            dtype=tmpl_leaves[0].dtype if tmpl_leaves
+                            else jax.numpy.float32,
+                        )
+                    else:
+                        fills[field] = getattr(template, field)
                 return restored.replace(**fills) if fills else restored
-        raise last_err
+        raise first_err
 
     def wait(self):
         self._mgr.wait_until_finished()

@@ -44,6 +44,32 @@ def feature_stats(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, np.atleast_2d(sigma)
 
 
+def save_stats(path: str, mu: np.ndarray, sigma: np.ndarray, **extra) -> None:
+    """Write (mu, sigma) feature statistics as an .npz (pytorch-fid's
+    `--save-stats` convention: keys `mu` and `sigma`), so stats interchange
+    with the standard tooling in both directions."""
+    np.savez(path, mu=np.asarray(mu, np.float64),
+             sigma=np.atleast_2d(np.asarray(sigma, np.float64)), **extra)
+
+
+def load_stats(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read a (mu, sigma) .npz written by `save_stats` OR by pytorch-fid
+    (`python -m pytorch_fid --save-stats`), which uses the same keys.
+    This is the FID escape hatch: reference statistics computed OFF-box
+    (where network/weights exist) plug in directly — no Inception weight
+    file needed on this host."""
+    data = np.load(path)
+    keys = set(data.files)
+    if not {"mu", "sigma"} <= keys:
+        raise ValueError(
+            f"{path!r} is not a stats archive (need keys mu+sigma, "
+            f"got {sorted(keys)})"
+        )
+    return np.asarray(data["mu"], np.float64), np.atleast_2d(
+        np.asarray(data["sigma"], np.float64)
+    )
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """FID = |mu1-mu2|^2 + Tr(s1 + s2 - 2 sqrtm(s1 s2))."""
     from scipy import linalg
@@ -224,13 +250,15 @@ def features_in_batches(images_u8: np.ndarray, extractor: FeatureFn,
 def evaluate_generator(
     gan,
     g_params,
-    dataset,
+    dataset=None,
     *,
     n_samples: int = 1024,
     extractor: Optional[FeatureFn] = None,
     batch: int = 64,
     seed: int = 0,
     cache: Optional[dict] = None,
+    ref_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    out: Optional[dict] = None,
 ) -> dict:
     """Generate n_samples, extract features for both generated and real
     examples, return {"fid": ..., "kid": ...} (rFID/rKID with the default
@@ -238,7 +266,17 @@ def evaluate_generator(
 
     Pass the same `cache` dict across calls (e.g. periodic in-training
     eval) to compute the real-image features once — they are constant for
-    a fixed (dataset, extractor, seed, n_samples)."""
+    a fixed (dataset, extractor, seed, n_samples).
+
+    `ref_stats=(mu, sigma)` replaces the real side entirely (stats escape
+    hatch: reference statistics computed off-box, e.g. by pytorch-fid,
+    yield TRUE FID with no real images or Inception weights on this host).
+    KID needs raw features, so it is reported as None in that mode.
+    `dataset` may then be None.
+
+    `out` (a dict, mutated) receives the raw arrays for export:
+    `fake_features`, `fake_mu`, `fake_sigma`, and — when the real side is
+    computed — `real_features`, `real_mu`, `real_sigma`."""
     from locate_tpu.io.sampling import generate_samples
 
     extractor = extractor or RandomConvFeatures()
@@ -250,7 +288,22 @@ def evaluate_generator(
         imgs = generate_samples(gan, g_params, k, n)
         fake_feats.append(extractor(imgs))
     fake = np.concatenate(fake_feats, axis=0)
+    mu_f, s_f = feature_stats(fake)
+    if out is not None:
+        out.update(fake_features=fake, fake_mu=mu_f, fake_sigma=s_f)
 
+    if ref_stats is not None:
+        mu_r, s_r = ref_stats
+        return {
+            "fid": frechet_distance(mu_f, s_f, mu_r, s_r),
+            "kid": None,  # MMD needs per-sample features, not stats
+            "n_fake": len(fake),
+            "n_real": None,
+            "real_side": "ref_stats",
+        }
+
+    if dataset is None:
+        raise ValueError("evaluate_generator needs a dataset or ref_stats")
     # stable key (NOT id(): default extractors are rebuilt per call and a
     # recycled id could return features from a DIFFERENT extractor)
     ex_token = getattr(extractor, "cache_token", repr(extractor))
@@ -265,8 +318,9 @@ def evaluate_generator(
         if cache is not None:
             cache[cache_key] = real
 
-    mu_f, s_f = feature_stats(fake)
     mu_r, s_r = feature_stats(real)
+    if out is not None:
+        out.update(real_features=real, real_mu=mu_r, real_sigma=s_r)
     return {
         "fid": frechet_distance(mu_f, s_f, mu_r, s_r),
         "kid": kid(fake, real),

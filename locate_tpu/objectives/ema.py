@@ -40,7 +40,14 @@ def stochastic_round_bf16(x: jax.Array, key: jax.Array) -> jax.Array:
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
     rnd = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
     rounded = (bits + rnd) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+    sr = jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+    # The bit-domain add carries past the exponent field for inf/NaN and
+    # values in f32's top binade (inf+rnd can become NaN; the carry can
+    # reach the sign bit). Non-finite values must PROPAGATE — the
+    # apply_if_finite machinery depends on seeing them — so pass them (and
+    # anything the round would overflow) through plain casting instead.
+    return jnp.where(jnp.isfinite(x) & (jnp.abs(x) < 3.3895e38), sr,
+                     x.astype(jnp.bfloat16))
 
 
 def ema_update(ema_params, new_params, decay: float, sr_key=None):

@@ -103,7 +103,7 @@ def make_shardmap_train_step(
     path remains the default.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # stable API since jax 0.8
 
     pcfg = cfg.parallel
     if mesh.shape[pcfg.model_axis] != 1:
@@ -133,7 +133,7 @@ def make_shardmap_train_step(
             mesh=mesh,
             in_specs=(state_specs, {"image": batch_spec, "label": batch_spec}),
             out_specs=(state_specs, P()),  # metrics pmean'd -> replicated
-            check_rep=False,
+            check_vma=False,
         )
 
         return jax.jit(

@@ -91,6 +91,7 @@ def train(
                 os.path.join(cfg.workdir, "metrics.jsonl") if primary else None
             ),
             append=int(state.step) > 0,
+            resume_step=int(state.step),  # drop records the replay re-logs
         )
         if primary:
             # reproducibility: the fully-resolved config this run executes

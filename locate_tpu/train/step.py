@@ -94,7 +94,7 @@ def make_train_step(
         d_apply_r1 = build_discriminator(
             _dc.replace(gan.config, use_pallas=False), gan.compute_dtype
         ).apply
-    if tcfg.r1_gamma > 0.0:
+    if tcfg.r1_gamma > 0.0 and tcfg.r1_remat:
         # Rematerialize the penalty's D forward: differentiating the R1
         # gradient w.r.t. params (grad-of-grad) otherwise keeps every
         # jvp/transpose intermediate live in f32 — measured OOM at
@@ -162,12 +162,16 @@ def make_train_step(
                 pen = r1_penalty(d_apply_r1, d_params, real, labels)
                 return pen * (tcfg.r1_gamma * tcfg.r1_interval)
 
-            pen = jax.lax.cond(
-                step % tcfg.r1_interval == 0,
-                with_r1,
-                lambda _: jnp.zeros((), jnp.float32),
-                operand=None,
-            )
+            if tcfg.r1_interval == 1:
+                # fires every step: the cond is pure overhead, skip it
+                pen = with_r1(None)
+            else:
+                pen = jax.lax.cond(
+                    step % tcfg.r1_interval == 0,
+                    with_r1,
+                    lambda _: jnp.zeros((), jnp.float32),
+                    operand=None,
+                )
             aux["r1"] = pen
             loss = loss + pen
         return loss, aux

@@ -21,7 +21,8 @@ class MetricsLogger:
     `logdir` is None."""
 
     def __init__(self, logdir: Optional[str] = None,
-                 jsonl_path: Optional[str] = None, append: bool = True):
+                 jsonl_path: Optional[str] = None, append: bool = True,
+                 resume_step: Optional[int] = None):
         self._writer = None
         self._jsonl = None
         if logdir:
@@ -31,6 +32,19 @@ class MetricsLogger:
             self._writer = tf.summary.create_file_writer(logdir)
         if jsonl_path:
             os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
+            if append and resume_step is not None and os.path.exists(jsonl_path):
+                # Resume rewinds to the last CHECKPOINT, which may predate
+                # the last LOGGED step (crash between a log boundary and
+                # the next save). The replayed steps will be re-logged, so
+                # drop stale records with step > resume_step first — the
+                # file must stay exactly one monotone trajectory.
+                with open(jsonl_path) as f:
+                    kept = [
+                        line for line in f
+                        if json.loads(line).get("step", 0) <= resume_step
+                    ]
+                with open(jsonl_path, "w") as f:
+                    f.writelines(kept)
             # append on resume; a fresh run truncates so the artifact
             # describes exactly one training trajectory
             mode = "a" if append else "w"

@@ -124,7 +124,10 @@ def test_restore_backfills_new_state_fields(tiny_config, tmp_path):
 def test_restore_backfills_ema_enabled_on_resume(tiny_config, tmp_path):
     """Enable EMA on a run checkpointed without it: orbax rejects the
     missing SUBTREE outright, so restore retries with the field blanked
-    and backfills the template's fresh EMA."""
+    and seeds the EMA shadow from the RESTORED generator (not the
+    template's fresh random init — sampling prefers ema_params, so a
+    template-seeded shadow would sample near-noise for ~1/(1-decay)
+    steps after enabling EMA mid-run)."""
     import dataclasses
 
     from locate_tpu.io.checkpoint import CheckpointManager
@@ -149,10 +152,17 @@ def test_restore_backfills_ema_enabled_on_resume(tiny_config, tmp_path):
     restored = mgr2.restore(tmpl)
     mgr2.close()
     assert restored.ema_params is not None
-    # params came from DISK (seed 0), ema backfilled from TEMPLATE (seed 7)
+    # params came from DISK (seed 0); ema seeded from those SAME restored
+    # params — the shadow must start at the trained generator, not the
+    # template's seed-7 init
     for a, b in zip(jax.tree.leaves(restored.g_params), jax.tree.leaves(s0.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for a, b in zip(
-        jax.tree.leaves(restored.ema_params), jax.tree.leaves(tmpl.ema_params)
+    for a, b, t in zip(
+        jax.tree.leaves(restored.ema_params),
+        jax.tree.leaves(restored.g_params),
+        jax.tree.leaves(tmpl.ema_params),
     ):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.asarray(a).dtype == np.asarray(t).dtype
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b).astype(np.asarray(a).dtype)
+        )

@@ -14,6 +14,8 @@ from locate_tpu.io.fid import (
     features_in_batches,
     frechet_distance,
     kid,
+    load_stats,
+    save_stats,
 )
 
 
@@ -98,3 +100,53 @@ def test_evaluate_generator_end_to_end(tiny_config):
     assert frechet_distance(mu, s, mu, s) < 1e-6
     # untrained generator is far worse than real-vs-real
     assert result["fid"] > 1e-3
+
+
+def test_stats_roundtrip(tmp_path):
+    """save_stats/load_stats round-trip (pytorch-fid mu/sigma keys) and
+    the not-a-stats-archive error path."""
+    rng = np.random.default_rng(0)
+    mu, sigma = feature_stats(rng.normal(size=(200, 6)))
+    p = str(tmp_path / "stats.npz")
+    save_stats(p, mu, sigma, n=np.int64(200))
+    mu2, sigma2 = load_stats(p)
+    np.testing.assert_array_equal(mu, mu2)
+    np.testing.assert_array_equal(sigma, sigma2)
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, w0=np.zeros((3, 3, 3, 8)))
+    with pytest.raises(ValueError, match="stats archive"):
+        load_stats(bad)
+
+
+def test_evaluate_generator_ref_stats(tiny_config, tmp_path):
+    """The FID escape hatch: externally-computed real-side (mu, sigma)
+    replaces the dataset, and the resulting FID equals the dataset-path
+    FID computed with the same extractor/samples."""
+    from locate_tpu.models.gan import build_gan
+
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    params = gan.init(jax.random.PRNGKey(0))
+    ds = SyntheticImages(cfg.model.resolution, 3, length=64)
+    ex = RandomConvFeatures(seed=0, width=8)
+    arrays: dict = {}
+    baseline = evaluate_generator(
+        gan, params["generator"], ds,
+        n_samples=32, batch=16, extractor=ex, out=arrays,
+    )
+    assert set(arrays) >= {
+        "fake_features", "fake_mu", "fake_sigma",
+        "real_features", "real_mu", "real_sigma",
+    }
+    p = str(tmp_path / "ref.npz")
+    save_stats(p, arrays["real_mu"], arrays["real_sigma"])
+    via_stats = evaluate_generator(
+        gan, params["generator"], None,
+        n_samples=32, batch=16, extractor=ex, ref_stats=load_stats(p),
+    )
+    np.testing.assert_allclose(via_stats["fid"], baseline["fid"], rtol=1e-9)
+    assert via_stats["kid"] is None
+    assert via_stats["real_side"] == "ref_stats"
+    with pytest.raises(ValueError, match="dataset or ref_stats"):
+        evaluate_generator(gan, params["generator"], None,
+                           n_samples=8, batch=8, extractor=ex)
