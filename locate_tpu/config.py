@@ -195,6 +195,11 @@ class TrainConfig:
     # memory; measured OOM fix at 128^2 b64 on 16 GB). Off only for
     # profiling the remat cost itself (scripts/profile_r1.py).
     r1_remat: bool = True
+    # Compute R1 on this leading fraction of the (shuffled) real batch —
+    # an unbiased estimator of E[||grad D||^2] at 1/fraction of the
+    # grad-of-grad cost (higher variance; the penalty is a regularizer,
+    # not a loss, so variance is cheap). 1.0 = full batch.
+    r1_batch_fraction: float = 1.0
     # ProGAN-style drift penalty eps * E[D(real)^2] (arXiv 1710.10196
     # §A.1) — keeps D's logits from running away (the observed
     # long-horizon failure mode: D saturates, G gradients explode).
@@ -258,6 +263,11 @@ class TrainConfig:
         if self.logit_penalty < 0.0:
             raise ValueError(
                 f"logit_penalty must be >= 0, got {self.logit_penalty}"
+            )
+        if not 0.0 < self.r1_batch_fraction <= 1.0:
+            raise ValueError(
+                f"r1_batch_fraction must be in (0, 1], got "
+                f"{self.r1_batch_fraction}"
             )
         if 0 < self.max_nonfinite_skips < self.log_every:
             # the abort check only observes the streak at log boundaries;

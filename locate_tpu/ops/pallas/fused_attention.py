@@ -217,6 +217,40 @@ def _tile_specs(t, c, hd, *, batch_major: bool):
     return x_spec, pp_spec
 
 
+def softmax_gate_stats(x2d, pos_proj, w1x, b1, w2, b2, *, act, leaky_slope,
+                       interpret):
+    """Run ONLY the flash-style (running max, sum-exp) stats pass over the
+    gate logits of `x2d` — used by the fused-stage backward to recompute
+    the softmax residuals without paying the apply pass."""
+    n, hw, c = x2d.shape
+    hd = w1x.shape[1]
+    cout = w2.shape[1]
+    t = _pick_tile(hw, c)
+    s = hw // t
+    w1c, b1r, w2c, b2r, ppf = _prep_operands(x2d, pos_proj, w1x, b1, w2, b2)
+    x_spec, pp_spec = _tile_specs(t, c, hd, batch_major=True)
+    stat_spec = pl.BlockSpec(
+        (1, 1, cout), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_softmax_stats_kernel, act=act,
+                          leaky_slope=leaky_slope),
+        grid=(n, s),
+        in_specs=[x_spec, pp_spec, _full_spec(w1c.shape), _full_spec((1, hd)),
+                  _full_spec(w2c.shape), _full_spec((1, cout))],
+        out_specs=(stat_spec, stat_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1, cout), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, cout), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, cout), jnp.float32),
+            pltpu.VMEM((1, cout), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2d, ppf, w1c, b1r, w2c, b2r)
+
+
 def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
                                leaky_slope, hw_scale, interpret):
     """Returns (y, m, se): softmax mode also returns its running max /

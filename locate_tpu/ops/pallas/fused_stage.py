@@ -45,11 +45,20 @@ Modes:
   * attention=None     -> conv block only (used for the non-final conv
     blocks of a multi-block stage).
 
-Backward: custom_vjp whose backward is jax.vjp of `stage_oracle` — the
-exact XLA composition (lax.conv etc., numerics identical to the unfused
-layer path). The stage forward dominates sampling/serving and ~1/3 of the
-train step; the backward stays on XLA's (already measured, well-fused)
-gradient kernels. Grad-of-grad therefore also works through this op.
+Backward (round 3, hand-written for leaky_relu/relu): the gated stage is
+exactly `locate_attention(conv_core(x))` evaluated at the pre-gate output
+w, so the backward chains (1) the fused-attention backward kernels on w
+(recomputed flash-style by one conv-only kernel call — cheaper than
+holding an (N,HW,Co) residual; softmax stats rerun their stats pass) and
+(2) a conv-block backward kernel
+(`_kernel_conv_bwd`): every convolution transpose is the forward's
+shifted-MXU-matmul with the shift reversed, weight grads accumulate
+in-place in constant-index f32 blocks across the sequential grid, and the
+act'+GroupNorm-statistics backward runs as one bandwidth-bound XLA
+epilogue pass. Other activations (or `oracle_bwd=True`) fall back to
+jax.vjp of `stage_oracle` — the exact XLA composition. Either way the op
+is FIRST-ORDER only; grad-of-grad (R1) goes through the XLA twin
+(train/step.py `d_apply_r1`).
 
 The XLA layer composition remains the fallback and the test oracle
 (SURVEY.md §5 item 2); tests/test_fused_stage.py pins fwd+grad in
@@ -68,10 +77,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from locate_tpu.ops.pallas.fused_attention import (
     _act,
+    _act_grad,
     _full_spec,
+    _pallas_backward,
     _pick_tile,
     _prep_operands,
     _softmax_apply_kernel,
+    _PALLAS_BWD_ACTS,
 )
 
 SQRT_HALF = 0.7071067811865476
@@ -158,6 +170,20 @@ def _row_shift_taps(u2: jax.Array, width: int):
     right = jnp.concatenate([u2[1:], zero_row], axis=0)   # u[x+1]
     right = jnp.where(col == width - 1, jnp.zeros((), u2.dtype), right)
     return left, u2, right
+
+
+def _row_unshift_sum(t0, t1, t2, width: int):
+    """Transpose of `_row_shift_taps`: du[x] = t0[x+1] + t1[x] + t2[x-1]
+    with row-boundary masking (t_k = dv @ Wr[k]^T; tap k of the forward
+    multiplied u[x + k - 1], so its transpose scatters by -(k - 1))."""
+    t, c = t1.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) % width
+    zero_row = jnp.zeros((1, c), t1.dtype)
+    from_t0 = jnp.concatenate([t0[1:], zero_row], axis=0)      # t0[x+1]
+    from_t0 = jnp.where(col == width - 1, jnp.zeros((), t1.dtype), from_t0)
+    from_t2 = jnp.concatenate([zero_row, t2[:-1]], axis=0)     # t2[x-1]
+    from_t2 = jnp.where(col == 0, jnp.zeros((), t1.dtype), from_t2)
+    return from_t0 + t1 + from_t2
 
 
 def _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref, bc_ref,
@@ -283,6 +309,137 @@ def _kernel_softmax_stats(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
     def _():
         m_ref[0] = m_acc[:]
         s_ref[0] = s_acc[:]
+
+
+def _kernel_conv_bwd(x_ref, xu_ref, xd_ref, dw_ref, dwu_ref, dwd_ref,
+                     a_ref, b_ref, wr_ref, wc_ref, skip_ref,
+                     du_ref, dxs_ref, dwr_ref, dwc_ref, dbc_ref, dws_ref,
+                     *, width, rows, act, leaky_slope):
+    """Backward of the conv-block core for one tile of image rows.
+
+    Given dL/dw (the post-skip stage output grad, incl. 1-row halos — the
+    column conv couples adjacent rows), recomputes u/v flash-style from x
+    and emits:
+      du   — dL/d(act(norm(x)))   (the XLA epilogue finishes act'+GN bwd)
+      dxs  — the skip path's dL/dx (sqrt(1/2) * dw [@ Wskip^T])
+      dWr/dWc/dbc[/dWskip] — weight grads, accumulated in-place across
+      the sequential grid in constant-index f32 blocks.
+    All convolution transposes are the forward's shifted MXU matmuls with
+    the shift direction reversed (see _row_unshift_sum).
+    """
+    i = pl.program_id(1)
+    s = pl.num_programs(1)
+    nidx = pl.program_id(0)
+    cd = x_ref.dtype
+    afn = _act(act, leaky_slope)
+    a = a_ref[0]
+    b = b_ref[0]
+
+    def norm_act(t2):
+        return afn(t2.astype(jnp.float32) * a + b).astype(cd)
+
+    x2 = x_ref[0]                                    # (tw, C)
+    c = x2.shape[-1]
+    co = dw_ref.shape[-1]
+    tw = rows * width
+    zero = jnp.zeros((), cd)
+
+    # recompute u (and v) on the extended rows, halos zeroed at the edges
+    u_up = jnp.where(i > 0, norm_act(xu_ref[0]), zero)
+    u_dn = jnp.where(i < s - 1, norm_act(xd_ref[0]), zero)
+    u_ext = jnp.concatenate([u_up, norm_act(x2), u_dn], axis=0)
+    wr3 = wr_ref[:]                                  # (3, C, Co) cd
+    taps_e = _row_shift_taps(u_ext, width)
+    if c < 128:  # same K=3C lane-concat MXU trick as the forward
+        v_ext = jnp.dot(jnp.concatenate(taps_e, axis=1),
+                        wr3.reshape(3 * c, co),
+                        preferred_element_type=jnp.float32)
+    else:
+        v_ext = jnp.dot(taps_e[0], wr3[0], preferred_element_type=jnp.float32)
+        v_ext += jnp.dot(taps_e[1], wr3[1], preferred_element_type=jnp.float32)
+        v_ext += jnp.dot(taps_e[2], wr3[2], preferred_element_type=jnp.float32)
+    v_ext = v_ext.astype(cd)                         # ((rows+2)W, Co)
+
+    # dL/dy0 on the extended rows (the skip-scale folds in here; halo rows
+    # beyond the image contribute nothing -> zero masked)
+    sqh = jnp.asarray(SQRT_HALF, jnp.float32)
+    dwf = dw_ref[0].astype(jnp.float32) * sqh        # (tw, Co) f32
+    dy0_c = dwf.astype(cd)
+    dy0_u = jnp.where(i > 0, (dwu_ref[0].astype(jnp.float32) * sqh).astype(cd),
+                      zero)
+    dy0_d = jnp.where(i < s - 1,
+                      (dwd_ref[0].astype(jnp.float32) * sqh).astype(cd), zero)
+    dy0_ext = jnp.concatenate([dy0_u, dy0_c, dy0_d], axis=0)
+
+    # column conv transpose: dv_j = dy0_{j+1}@Wc[0]^T + dy0_j@Wc[1]^T
+    #                               + dy0_{j-1}@Wc[2]^T  (row slices)
+    wc3 = wc_ref[:]                                  # (3, Co, Co) cd
+    tr = (((1,), (1,)), ((), ()))                    # contract last-with-last
+    dv = jax.lax.dot_general(dy0_ext[2 * width:], wc3[0], tr,
+                             preferred_element_type=jnp.float32)
+    dv += jax.lax.dot_general(dy0_ext[width:width + tw], wc3[1], tr,
+                              preferred_element_type=jnp.float32)
+    dv += jax.lax.dot_general(dy0_ext[:tw], wc3[2], tr,
+                              preferred_element_type=jnp.float32)
+    dv_c = dv.astype(cd)                             # (tw, Co)
+
+    # dWc[k] = sum_i v_{i+k-1}^T dy0_i  (forward's vslices, central dy0)
+    red0 = (((0,), (0,)), ((), ()))                  # contract over rows
+    dwc_part = jnp.stack([
+        jax.lax.dot_general(v_ext[:tw], dy0_c, red0,
+                            preferred_element_type=jnp.float32),
+        jax.lax.dot_general(v_ext[width:width + tw], dy0_c, red0,
+                            preferred_element_type=jnp.float32),
+        jax.lax.dot_general(v_ext[2 * width:], dy0_c, red0,
+                            preferred_element_type=jnp.float32),
+    ])                                               # (3, Co, Co) f32
+
+    # row conv transpose: t_k = dv @ Wr[k]^T, scattered by the reversed
+    # shifts; dWr[k] = tap_k(u_central)^T @ dv
+    t0 = jax.lax.dot_general(dv_c, wr3[0], tr,
+                             preferred_element_type=jnp.float32)
+    t1 = jax.lax.dot_general(dv_c, wr3[1], tr,
+                             preferred_element_type=jnp.float32)
+    t2 = jax.lax.dot_general(dv_c, wr3[2], tr,
+                             preferred_element_type=jnp.float32)
+    du_ref[0] = _row_unshift_sum(t0, t1, t2, width).astype(cd)
+
+    u_c = u_ext[width:width + tw]
+    taps_c = _row_shift_taps(u_c, width)
+    dwr_part = jnp.stack([
+        jax.lax.dot_general(taps_c[0], dv_c, red0,
+                            preferred_element_type=jnp.float32),
+        jax.lax.dot_general(taps_c[1], dv_c, red0,
+                            preferred_element_type=jnp.float32),
+        jax.lax.dot_general(taps_c[2], dv_c, red0,
+                            preferred_element_type=jnp.float32),
+    ])                                               # (3, C, Co) f32
+
+    dbc_part = jnp.sum(dwf, axis=0, keepdims=True)   # (1, Co); dbc sees
+    # the sqrt(1/2)-scaled grad exactly like the oracle's  y + b  term
+
+    if skip_ref is not None:
+        dxs_ref[0] = jax.lax.dot_general(
+            dy0_c, skip_ref[:], tr, preferred_element_type=jnp.float32
+        ).astype(cd)
+        dws_part = jax.lax.dot_general(x2, dy0_c, red0,
+                                       preferred_element_type=jnp.float32)
+    else:
+        dxs_ref[0] = dy0_c                           # identity skip (C==Co)
+
+    @pl.when(jnp.logical_and(nidx == 0, i == 0))
+    def _():
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
+        dwc_ref[:] = jnp.zeros_like(dwc_ref)
+        dbc_ref[:] = jnp.zeros_like(dbc_ref)
+        if skip_ref is not None:
+            dws_ref[:] = jnp.zeros_like(dws_ref)
+
+    dwr_ref[:] += dwr_part
+    dwc_ref[:] += dwc_part
+    dbc_ref[:] += dbc_part
+    if skip_ref is not None:
+        dws_ref[:] += dws_part
 
 
 # ---------------------------------------------------------------------------
@@ -463,12 +620,205 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
     return y2.reshape(n, h, w, co)
 
 
+def _pallas_conv_backward(ops: dict, dw2: jax.Array, *, h, w, groups, eps,
+                          act, leaky_slope, interpret) -> dict:
+    """Hand-written backward of the conv-block core: Pallas kernel for the
+    conv transposes + weight grads (see _kernel_conv_bwd), XLA epilogue
+    for the act' + GroupNorm-statistics backward (one bandwidth-bound
+    pass, matching the oracle's f32 norm math). `dw2` is dL/d(stage
+    output before any gate), shape (N, H*W, Co)."""
+    x4 = ops["x"]
+    n, _, _, c = x4.shape
+    cd = x4.dtype
+    co = ops["w_col"].shape[-1]
+    x2 = x4.reshape(n, h * w, c)
+
+    a, b = _fold_groupnorm(x4, ops["gn_scale"], ops["gn_bias"], groups, eps)
+    wr3 = ops["w_row"].reshape(3, c, co).astype(cd)
+    wc3 = ops["w_col"].reshape(3, co, co).astype(cd)
+    has_skip = "w_skip" in ops
+
+    rows = _pick_rows(h, w, c, co, 0, budget=2 * 1024 * 1024)
+    s = h // rows
+    tw = rows * w
+
+    def tile_spec(ch):
+        return pl.BlockSpec((1, tw, ch), lambda ni, i: (ni, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def halo_specs(ch):
+        up = pl.BlockSpec((1, w, ch),
+                          lambda ni, i: (ni, jnp.maximum(i * rows - 1, 0), 0),
+                          memory_space=pltpu.VMEM)
+        dn = pl.BlockSpec((1, w, ch),
+                          lambda ni, i: (ni, jnp.minimum((i + 1) * rows, h - 1), 0),
+                          memory_space=pltpu.VMEM)
+        return up, dn
+
+    ab_spec = pl.BlockSpec((1, 1, c), lambda ni, i: (ni, 0, 0),
+                           memory_space=pltpu.VMEM)
+    xu_spec, xd_spec = halo_specs(c)
+    du_spec, dd_spec = halo_specs(co)
+    in_specs = [tile_spec(c), xu_spec, xd_spec,
+                tile_spec(co), du_spec, dd_spec,
+                ab_spec, ab_spec, _full_spec(wr3.shape), _full_spec(wc3.shape)]
+    in_args = [x2, x2, x2, dw2, dw2, dw2, a, b, wr3, wc3]
+    if has_skip:
+        in_specs.append(_full_spec((c, co)))
+        in_args.append(ops["w_skip"].reshape(c, co).astype(cd))
+
+    out_specs = [tile_spec(c), tile_spec(c),
+                 _full_spec(wr3.shape), _full_spec(wc3.shape),
+                 _full_spec((1, co))]
+    out_shapes = [jax.ShapeDtypeStruct((n, h * w, c), cd),
+                  jax.ShapeDtypeStruct((n, h * w, c), cd),
+                  jax.ShapeDtypeStruct((3, c, co), jnp.float32),
+                  jax.ShapeDtypeStruct((3, co, co), jnp.float32),
+                  jax.ShapeDtypeStruct((1, co), jnp.float32)]
+    if has_skip:
+        out_specs.append(_full_spec((c, co)))
+        out_shapes.append(jax.ShapeDtypeStruct((c, co), jnp.float32))
+
+    fn = functools.partial(_kernel_conv_bwd, width=w, rows=rows, act=act,
+                           leaky_slope=leaky_slope)
+    if has_skip:
+        kern = fn
+    else:
+        def kern(*refs):  # arity without skip_ref / dws_ref
+            return fn(*refs[:10], None, *refs[10:], None)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(n, s),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(*in_args)
+    if has_skip:
+        du2, dxs2, dwr, dwc, dbc, dws = outs
+    else:
+        du2, dxs2, dwr, dwc, dbc = outs
+
+    # ---- XLA epilogue: act' + GroupNorm backward (f32, matches oracle) --
+    cg = c // groups
+    xf = x2.astype(jnp.float32).reshape(n, h * w, groups, cg)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = ((xf - mean) * rstd).reshape(n, h * w, c)
+    # act was evaluated on the cd-cast pre-activation; take its
+    # subgradient at exactly those values
+    z_cd = (xhat * ops["gn_scale"].astype(jnp.float32)
+            + ops["gn_bias"].astype(jnp.float32)).astype(cd)
+    dz = du2.astype(jnp.float32) * _act_grad(act, leaky_slope)(
+        z_cd.astype(jnp.float32))
+    d_scale = jnp.sum(dz * xhat, axis=(0, 1))
+    d_bias = jnp.sum(dz, axis=(0, 1))
+    dzs = (dz * ops["gn_scale"].astype(jnp.float32)).reshape(
+        n, h * w, groups, cg)
+    xhat_g = xhat.reshape(n, h * w, groups, cg)
+    m1 = dzs.mean(axis=(1, 3), keepdims=True)
+    m2 = (dzs * xhat_g).mean(axis=(1, 3), keepdims=True)
+    dx_norm = (rstd * (dzs - m1 - xhat_g * m2)).reshape(n, h * w, c)
+    dx = (dx_norm + dxs2.astype(jnp.float32)).astype(cd)
+
+    grads = {
+        "x": dx.reshape(x4.shape),
+        "gn_scale": d_scale.astype(ops["gn_scale"].dtype),
+        "gn_bias": d_bias.astype(ops["gn_bias"].dtype),
+        "w_row": dwr.reshape(ops["w_row"].shape).astype(ops["w_row"].dtype),
+        "w_col": dwc.reshape(ops["w_col"].shape).astype(ops["w_col"].dtype),
+        "b_col": dbc.reshape(ops["b_col"].shape).astype(ops["b_col"].dtype),
+    }
+    if has_skip:
+        grads["w_skip"] = dws.reshape(ops["w_skip"].shape).astype(
+            ops["w_skip"].dtype)
+    return grads
+
+
+_CONV_KEYS = ("x", "gn_scale", "gn_bias", "w_row", "w_col", "b_col", "w_skip")
+
+
 @functools.lru_cache(maxsize=None)
-def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret):
-    """custom_vjp op over a dict of operands: Pallas forward, XLA-oracle
-    backward (exact; supports grad-of-grad through the oracle)."""
+def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
+                     oracle_bwd=False):
+    """custom_vjp op over a dict of operands: Pallas forward; hand-written
+    Pallas backward (round 3) for leaky_relu/relu — gate backward via the
+    fused-attention bwd kernels on the pre-gate output w (saved by the
+    softmax forward, recomputed flash-style for sigmoid), conv-block
+    backward via _kernel_conv_bwd + XLA GroupNorm epilogue. Other
+    activations (or oracle_bwd=True, the A/B-benchmark escape hatch) fall
+    back to jax.vjp of the exact XLA oracle. First-order only either way
+    (grad-of-grad goes through the oracle twin, see train/step.py)."""
     kw = dict(h=h, w=w, groups=groups, eps=eps, act=act,
               leaky_slope=leaky_slope, mode=mode)
+    hand_written = (act in _PALLAS_BWD_ACTS) and not oracle_bwd
+
+    # The backward chain is itself a custom_vjp op so grad-of-grad stays
+    # supported: second order differentiates the ORACLE's vjp instead
+    # (exact XLA math — the Pallas bwd kernels have no jvp/transpose
+    # rules). Residuals (the gated modes' pre-gate output w + softmax
+    # stats) are recomputed flash-style from `ops` inside this op, so
+    # nothing pallas-made crosses the custom_vjp boundary.
+    @jax.custom_vjp
+    def bwd_op(ops, gy):
+        n = ops["x"].shape[0]
+        co = ops["w_col"].shape[-1]
+        gy2 = gy.reshape(n, h * w, co)
+        if mode is None:
+            return _pallas_conv_backward(
+                ops, gy2, h=h, w=w, groups=groups, eps=eps, act=act,
+                leaky_slope=leaky_slope, interpret=interpret,
+            )
+        # gated: gate backward on the pre-gate output w (the stage's gate
+        # IS the standalone locate-attention block applied at w); w is
+        # recomputed by one conv-only kernel call (remat-style — cheaper
+        # than holding an (N,HW,Co) residual across the whole backward)
+        conv_ops = {k: ops[k] for k in _CONV_KEYS if k in ops}
+        w_pre2 = _pallas_stage_forward(
+            conv_ops, h=h, w=w, groups=groups, eps=eps, act=act,
+            leaky_slope=leaky_slope, mode=None, interpret=interpret,
+        ).reshape(n, h * w, co)
+        if mode == "softmax":
+            from locate_tpu.ops.pallas.fused_attention import (
+                softmax_gate_stats,
+            )
+
+            m, se = softmax_gate_stats(
+                w_pre2, ops["pos_proj"], ops["w1x"], ops["b1"],
+                ops["w2"], ops["b2"], act=act, leaky_slope=leaky_slope,
+                interpret=interpret,
+            )
+        else:
+            m = se = None
+        dw2, dpp, dw1, db1, dw2g, db2 = _pallas_backward(
+            w_pre2, gy2, ops["pos_proj"], ops["w1x"], ops["b1"],
+            ops["w2"], ops["b2"], m, se,
+            mode=mode, act=act, leaky_slope=leaky_slope,
+            hw_scale=float(h * w), interpret=interpret,
+        )
+        grads = _pallas_conv_backward(
+            ops, dw2, h=h, w=w, groups=groups, eps=eps, act=act,
+            leaky_slope=leaky_slope, interpret=interpret,
+        )
+        grads.update(pos_proj=dpp, w1x=dw1, b1=db1, w2=dw2g, b2=db2)
+        return grads
+
+    def bwd_op_fwd(ops, gy):
+        return bwd_op(ops, gy), (ops, gy)
+
+    def bwd_op_bwd(res, gg):
+        ops, gy = res
+
+        def first_order(o, g):
+            _, vjp = jax.vjp(lambda oo: stage_oracle(oo, **kw), o)
+            return vjp(g)[0]
+
+        _, vjp2 = jax.vjp(first_order, ops, gy)
+        return vjp2(gg)
+
+    bwd_op.defvjp(bwd_op_fwd, bwd_op_bwd)
 
     @jax.custom_vjp
     def core(ops):
@@ -478,8 +828,10 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret):
         return core(ops), ops
 
     def bwd(ops, gy):
-        _, vjp = jax.vjp(lambda o: stage_oracle(o, **kw), ops)
-        return vjp(gy)
+        if not hand_written:
+            _, vjp = jax.vjp(lambda o: stage_oracle(o, **kw), ops)
+            return vjp(gy)
+        return (bwd_op(ops, gy),)
 
     core.defvjp(fwd, bwd)
     return core
@@ -506,6 +858,7 @@ def fused_stage(
     w2: Optional[jax.Array] = None,         # (Hd, Cout)
     b2: Optional[jax.Array] = None,         # (Cout,)
     interpret: bool = False,
+    oracle_bwd: bool = False,               # force the XLA-oracle backward
 ) -> jax.Array:
     """Fused pre-activation residual conv block with optional fused
     residual-form location attention. See module docstring."""
@@ -528,6 +881,6 @@ def fused_stage(
         ops.update(pos_proj=pos_proj, w1x=w1x, b1=b1, w2=w2, b2=b2)
     core = _make_stage_core(
         h, w_, int(groups), float(eps), act, float(leaky_slope), mode,
-        bool(interpret),
+        bool(interpret), bool(oracle_bwd),
     )
     return core(ops)

@@ -159,7 +159,16 @@ def make_train_step(
             # Lazy R1: every r1_interval steps, scaled to keep the expected
             # strength (StyleGAN-style lazy regularization).
             def with_r1(_):
-                pen = r1_penalty(d_apply_r1, d_params, real, labels)
+                # Optional batch-subset estimator (r1_batch_fraction):
+                # rows are i.i.d. (the pipeline shuffles), so the leading
+                # slice is an unbiased sample of E[||grad_x D||^2] at a
+                # fraction of the grad-of-grad cost.
+                nr = real.shape[0]
+                k = max(1, int(round(nr * tcfg.r1_batch_fraction)))
+                r_sub = real[:k] if k < nr else real
+                l_sub = (labels[:k] if (labels is not None and k < nr)
+                         else labels)
+                pen = r1_penalty(d_apply_r1, d_params, r_sub, l_sub)
                 return pen * (tcfg.r1_gamma * tcfg.r1_interval)
 
             if tcfg.r1_interval == 1:

@@ -104,14 +104,19 @@ def test_fused_stage_generator_multiblock_and_upsample():
 
 
 @pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
-def test_fused_stage_grads_match_oracle(mode):
-    """Gradients wrt x AND every param leaf (the custom_vjp backward runs
-    the exact XLA oracle, so the tolerance is reduction-order only)."""
+@pytest.mark.parametrize("skip_proj", [False, True])
+def test_fused_stage_grads_match_oracle(mode, skip_proj):
+    """Gradients wrt x AND every param leaf. Round 3: the backward is the
+    HAND-WRITTEN kernel chain (attention-bwd on the recomputed pre-gate
+    output + conv-block bwd + XLA GroupNorm epilogue) — this test is its
+    oracle gate, covering both the 1x1-projection and identity skip."""
     cfg = _model_cfg(mode)
-    fused, oracle = _disc_pair(cfg, 16, 32, 32)
+    in_ch = 16 if skip_proj else 32
+    fused, oracle = _disc_pair(cfg, in_ch, 32, 32)
     params = oracle.init(jax.random.PRNGKey(0))
     params = jax.tree.map(lambda p: p + 0.02, params)
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 16), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, in_ch),
+                          jnp.float32)
 
     def loss(layer):
         def f(p, xx):
@@ -127,9 +132,72 @@ def test_fused_stage_grads_match_oracle(mode):
         jax.tree_util.tree_leaves_with_path(gp_f),
         jax.tree_util.tree_leaves_with_path(gp_o),
     ):
+        if mode == "softmax" and "to_logits" in str(kf) and lf.ndim == 1:
+            continue  # db2 is analytically zero (softmax shift
+            # invariance); both sides are pure cancellation noise
         np.testing.assert_allclose(
             np.asarray(lf), np.asarray(lo), rtol=5e-5, atol=5e-5,
             err_msg=str(kf),
+        )
+
+
+def test_fused_stage_conv_only_grads_match_oracle():
+    """mode=None (conv block only, no gate): the public fused_stage API's
+    bare-conv path, fwd + hand-written bwd vs the oracle, plus the
+    oracle_bwd=True escape hatch staying bit-compatible in structure."""
+    from locate_tpu.ops.pallas.fused_stage import fused_stage, stage_oracle
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    n, h, w, c, co = 2, 16, 16, 16, 32
+    x = jax.random.normal(ks[0], (n, h, w, c), jnp.float32)
+    ops = dict(
+        x=x,
+        gn_scale=1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+        gn_bias=0.1 * jax.random.normal(ks[2], (c,)),
+        w_row=0.1 * jax.random.normal(ks[3], (1, 3, c, co)),
+        w_col=0.1 * jax.random.normal(ks[4], (3, 1, co, co)),
+        b_col=0.1 * jax.random.normal(ks[5], (co,)),
+        w_skip=0.1 * jax.random.normal(ks[6], (1, 1, c, co)),
+    )
+
+    def run(fn):
+        def loss(o):
+            return jnp.sum(jnp.sin(fn(o)))
+        return jax.grad(loss)(ops)
+
+    kw = dict(groups=4, act="leaky_relu", mode=None, interpret=True)
+
+    def fused_fn(o):
+        return fused_stage(
+            o["x"], o["gn_scale"], o["gn_bias"], o["w_row"], o["w_col"],
+            o["b_col"], o["w_skip"], **kw,
+        )
+
+    def oracle_fn(o):
+        return stage_oracle(o, h=h, w=w, groups=4, eps=1e-5,
+                            act="leaky_relu", leaky_slope=0.2, mode=None)
+
+    got = run(fused_fn)
+    want = run(oracle_fn)
+    for k in ops:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=5e-5, atol=5e-5,
+            err_msg=k,
+        )
+
+    def fused_oracle_bwd(o):
+        return fused_stage(
+            o["x"], o["gn_scale"], o["gn_bias"], o["w_row"], o["w_col"],
+            o["b_col"], o["w_skip"], oracle_bwd=True, **kw,
+        )
+
+    via_escape = run(fused_oracle_bwd)
+    for k in ops:
+        # same math as the oracle run, modulo jit/fusion reduction order
+        np.testing.assert_allclose(
+            np.asarray(via_escape[k]), np.asarray(want[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k,
         )
 
 
