@@ -162,11 +162,18 @@ def _maybe_fused_stage(layers, kinds, cfg: ModelConfig, compute_dtype) -> Layer:
         i = 0
         while i < len(layers):
             kind = kinds[i]
-            # conv-only fusion measured <= 1.02x everywhere: only the
-            # conv+attention PAIR is fused, and only at huge spatial sizes
+            big = x.shape[1] * x.shape[2] >= FUSE_MIN_LOCATIONS
+            # at >= FUSE_MIN_LOCATIONS both flavors fuse: the
+            # conv+attention PAIR (one kernel incl. the gate) and bare
+            # conv blocks (mode=None). Round-2 forward-only measurement
+            # had conv-only at <= 1.02x; the round-3 hand-written
+            # backward tips it to 1.21x fwd+bwd at 512^2
+            # (docs/DESIGN.md round-3 table), so it is wired in at the
+            # same tier. Below the gate everything stays on XLA convs +
+            # standalone fused attention.
             fuse_pair = (
                 kind[0] == "conv"
-                and x.shape[1] * x.shape[2] >= FUSE_MIN_LOCATIONS
+                and big
                 and i + 1 < len(layers)
                 and kinds[i + 1][0] == "attn"
                 and cfg.attention.residual
@@ -177,6 +184,12 @@ def _maybe_fused_stage(layers, kinds, cfg: ModelConfig, compute_dtype) -> Layer:
                     cfg, cin, cout, compute_dtype, params[i], params[i + 1], x
                 )
                 i += 2
+            elif kind[0] == "conv" and big:
+                _, cin, cout = kind
+                x = _apply_fused_stage(
+                    cfg, cin, cout, compute_dtype, params[i], None, x
+                )
+                i += 1
             else:
                 x = layers[i].apply(params[i], x)
                 i += 1

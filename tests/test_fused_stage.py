@@ -89,9 +89,10 @@ def test_fused_stage_forward_matches_oracle(mode, skip_proj):
 
 
 def test_fused_stage_generator_multiblock_and_upsample():
-    """blocks_per_stage=2: the first conv block stays on the XLA layer path
-    (conv-only fusion measured not profitable), the second fuses with the
-    attention; the upsample stays a plain layer."""
+    """blocks_per_stage=2: the first conv block runs the conv-only fused
+    kernel (round 3: wired in at the same tier gate — 1.21x fwd+bwd at
+    512^2), the second fuses with the attention; the upsample stays a
+    plain layer."""
     cfg = _model_cfg("sigmoid", blocks_per_stage=2)
     fused, oracle = _gen_pair(cfg, 16, 32, 32)
     params = oracle.init(jax.random.PRNGKey(0))
