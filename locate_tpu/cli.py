@@ -154,6 +154,9 @@ def cmd_eval(argv: List[str]) -> int:
                              paired with a matching --extractor.
       --stats-out=PATH.npz   write the GENERATED samples' (mu, sigma)
                              (keys mu/sigma) for external FID computation.
+      --real-stats-out=PATH.npz  write the REAL side's (mu, sigma) — run
+                             once with a vendored --extractor to mint the
+                             ref-stats file other machines consume.
       --features-out=PATH.npz  write raw feature matrices
                              (fake_features [+ real_features]) for
                              external FID/KID/PR computation.
@@ -192,7 +195,13 @@ def cmd_eval(argv: List[str]) -> int:
     )
     ref_stats_path = _str_flag(flags, "ref-stats")
     stats_out = _str_flag(flags, "stats-out")
+    real_stats_out = _str_flag(flags, "real-stats-out")
     features_out = _str_flag(flags, "features-out")
+    if real_stats_out and ref_stats_path:
+        raise SystemExit(
+            "--real-stats-out needs the dataset path (it computes the real "
+            "side); drop --ref-stats"
+        )
     arrays: dict = {}
     result = evaluate_generator(
         gan, g_params,
@@ -200,12 +209,16 @@ def cmd_eval(argv: List[str]) -> int:
         n_samples=int(_str_flag(flags, "samples", "1024")),
         extractor=extractor,
         ref_stats=load_stats(ref_stats_path) if ref_stats_path else None,
-        out=arrays if (stats_out or features_out) else None,
+        out=arrays if (stats_out or real_stats_out or features_out) else None,
     )
     if stats_out:
         save_stats(stats_out, arrays["fake_mu"], arrays["fake_sigma"],
                    n=np.int64(result["n_fake"]))
         result["stats_out"] = stats_out
+    if real_stats_out:
+        save_stats(real_stats_out, arrays["real_mu"], arrays["real_sigma"],
+                   n=np.int64(result["n_real"]))
+        result["real_stats_out"] = real_stats_out
     if features_out:
         feats = {"fake_features": arrays["fake_features"]}
         if "real_features" in arrays:

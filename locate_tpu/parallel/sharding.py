@@ -108,22 +108,26 @@ def make_shardmap_train_step(
     pcfg = cfg.parallel
     if mesh.shape[pcfg.model_axis] != 1:
         raise ValueError("shard_map step is DP-only (model_parallel must be 1)")
-    if cfg.train.steps_per_call > 1:
-        raise ValueError(
-            "steps_per_call > 1 is gspmd-only (parallel.backend='gspmd')"
-        )
     step_fn = make_train_step(
         cfg, gan, axis_name=pcfg.data_axis,
         axis_size=mesh.shape[pcfg.data_axis],
     )
-    b_sharding = batch_sharding(mesh, pcfg.data_axis)
+    # steps_per_call composes with shard_map the same way as with GSPMD:
+    # the scan lives INSIDE the per-replica program (collectives inside a
+    # scan body are fine), batches carry a leading [k] axis.
+    k = cfg.train.steps_per_call
+    step_fn = make_multi_step(step_fn, k)
+    b_sharding = (
+        batch_sharding(mesh, pcfg.data_axis) if k <= 1
+        else NamedSharding(mesh, P(None, pcfg.data_axis))
+    )
     rep = replicated(mesh)
 
     def shardings_for(state: TrainState) -> Any:
         # pure DP: everything replicated
         return jax.tree.map(lambda _: rep, state)
 
-    batch_spec = P(pcfg.data_axis)
+    batch_spec = P(pcfg.data_axis) if k <= 1 else P(None, pcfg.data_axis)
 
     def jit_step(state: TrainState):
         s_shardings = shardings_for(state)

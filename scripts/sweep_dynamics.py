@@ -16,20 +16,26 @@ import dataclasses
 import json
 import sys
 
+sys.path.insert(0, ".")
+
 from locate_tpu.config import get_config
 
 ARMS = {
-    # r1 gamma x lazy interval; beta1; two-timescale (slow G) variants
-    "base": {},
+    # r1 gamma x lazy interval; beta1; two-timescale (slow G) variants.
+    # NOTE: since round 2 the presets SHIP r1_gamma=0.1, so arms that
+    # mean "unregularized" must pin it to 0 explicitly.
+    "base": {"train.r1_gamma": "0.0"},
     "r1_01": {"train.r1_gamma": "0.1"},
     "r1_1": {"train.r1_gamma": "1.0"},
-    "beta05": {"train.g_opt.beta1": "0.5", "train.d_opt.beta1": "0.5"},
+    "beta05": {"train.r1_gamma": "0.0",
+               "train.g_opt.beta1": "0.5", "train.d_opt.beta1": "0.5"},
     "r1_01_beta05": {
         "train.r1_gamma": "0.1",
         "train.g_opt.beta1": "0.5",
         "train.d_opt.beta1": "0.5",
     },
     "ttur": {  # two-timescale: D faster than G (TTUR)
+        "train.r1_gamma": "0.0",
         "train.d_opt.lr": "4e-4",
         "train.g_opt.lr": "1e-4",
     },

@@ -199,6 +199,72 @@ def test_shardmap_step_matches_gspmd(tiny_config):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_shardmap_steps_per_call_matches_sequential(tiny_config):
+    """steps_per_call on the shard_map backend (round 3 — was
+    gspmd-only): one k=2 scan call must advance the state exactly like
+    two sequential k=1 calls of the same backend."""
+    import dataclasses as dc
+
+    from locate_tpu.parallel.sharding import make_shardmap_train_step
+
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    mesh = make_mesh(cfg.parallel)
+    b0 = make_batch(cfg, jax.random.PRNGKey(1))
+    b1 = make_batch(cfg, jax.random.PRNGKey(2))
+
+    def run(k):
+        c = cfg if k == 1 else dc.replace(
+            cfg, train=dc.replace(
+                cfg.train, steps_per_call=k,
+                log_every=cfg.train.log_every * k,
+                sample_every=cfg.train.sample_every * k,
+                checkpoint_every=cfg.train.checkpoint_every * k,
+                eval_every=0,
+                total_steps=max(cfg.train.total_steps // k, 1) * k,
+            ),
+        )
+        g = build_gan(c)
+        with mesh:
+            state = create_train_state(c, g, jax.random.PRNGKey(0))
+            jit_for, sh_for, b_shard = make_shardmap_train_step(c, g, mesh)
+            state = place_train_state(state, sh_for(state))
+            step = jit_for(state)
+            if k == 1:
+                for b in (b0, b1):
+                    dev = jax.device_put(
+                        b, {"image": b_shard, "label": b_shard})
+                    state, metrics = step(state, dev)
+            else:
+                stacked = jax.tree.map(
+                    lambda a, b: np.stack([a, b]), b0, b1)
+                dev = jax.device_put(
+                    stacked, {"image": b_shard, "label": b_shard})
+                state, metrics = step(state, dev)
+            assert int(state.step) == 2
+            return jax.device_get(state)
+
+    s_seq = run(1)
+    s_scan = run(2)
+
+    def assert_params_close(a, b):
+        # exclude the softmax gate's shift-invariant `to_logits.b` (true
+        # gradient exactly zero; Adam amplifies per-compilation reduction
+        # noise there to O(lr) — same exclusion as
+        # test_step_variants.test_multi_step_matches_sequential)
+        fa = jax.tree_util.tree_flatten_with_path(a)[0]
+        fb = jax.tree.leaves(b)
+        for (path, la), lb in zip(fa, fb):
+            name = jax.tree_util.keystr(path)
+            if "to_logits" in name and name.endswith("['b']"):
+                continue
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-6, err_msg=name)
+
+    assert_params_close(s_seq.g_params, s_scan.g_params)
+    assert_params_close(s_seq.d_params, s_scan.d_params)
+
+
 def test_shardmap_rejects_model_parallel(tiny_config):
     from locate_tpu.parallel.sharding import make_shardmap_train_step
 
