@@ -58,6 +58,15 @@ def cmd_train(argv: List[str]) -> int:
     initialize_from_env()  # no-op single-process; pod launchers set env
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
+    if flags.get("debug-nans"):
+        # Numerics sanitizer mode (SURVEY §6): every jitted computation
+        # re-runs un-jitted on the first non-finite output and raises at
+        # the producing primitive. ~2x slower + per-step sync; for
+        # debugging a collapse, not production (production uses the
+        # apply_if_finite skip + streak abort instead).
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     cfg = get_config(preset, overrides)
     trace_dir = flags.get("profile")
     with profiler_trace(
