@@ -320,12 +320,14 @@ def cmd_bench(argv: List[str]) -> int:
 
 def cmd_bench_sample(argv: List[str]) -> int:
     """`bench-sample PRESET [overrides] [--batch N] [--steps N]
-    [--checkpoint DIR]` — serving throughput: images/sec generating in
-    `train.compute_dtype`, device compute + host transfer included
-    (exactly what a sampling service pays per request batch). Loads the
-    latest checkpoint's (EMA) generator when one exists (or --checkpoint
-    is given); otherwise times freshly initialized weights — throughput
-    is weight-value-independent either way."""
+    [--checkpoint DIR] [--dp]` — serving throughput: images/sec
+    generating in `train.compute_dtype`, device compute + host transfer
+    included (exactly what a sampling service pays per request batch).
+    Loads the latest checkpoint's (EMA) generator when one exists (or
+    --checkpoint is given); otherwise times freshly initialized weights —
+    throughput is weight-value-independent either way. `--dp` shards each
+    request batch over ALL devices (io.sampling.ShardedSampler) for
+    multi-chip serving."""
     import json
     import time
 
@@ -366,22 +368,33 @@ def cmd_bench_sample(argv: List[str]) -> int:
         finally:
             mgr.close()
     key = jax.random.PRNGKey(1)
+    if flags.get("dp"):
+        from locate_tpu.io.sampling import ShardedSampler
+
+        sampler = ShardedSampler(gan, params)
+        sample = lambda k, n: sampler(k, n)  # noqa: E731
+        devices = sampler.n_devices
+    else:
+        sample = lambda k, n: generate_samples(gan, params, k, n)  # noqa: E731
+        devices = 1
     # compile + warmup
-    generate_samples(gan, params, key, batch)
+    sample(key, batch)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(steps):
-            generate_samples(gan, params, jax.random.fold_in(key, i), batch)
+            sample(jax.random.fold_in(key, i), batch)
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({
         "metric": (
             f"generator sampling images/sec ({cfg.model.resolution}px, "
-            f"batch {batch}, {cfg.train.compute_dtype}, incl. host transfer)"
+            f"batch {batch}, {cfg.train.compute_dtype}, incl. host transfer"
+            + (f", sharded over {devices} devices)" if devices > 1 else ")")
         ),
         "value": round(steps * batch / best, 2),
         "unit": "images/sec",
         "sec_per_batch": round(best / steps, 5),
+        "devices": devices,
         "weights": weights,
     }))
     return 0

@@ -75,6 +75,70 @@ def to_uint8(imgs: np.ndarray) -> np.ndarray:
     return np.clip((imgs + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
 
 
+class ShardedSampler:
+    """Data-parallel serving: the (EMA) generator jitted over a pure-DP
+    mesh, latent batch sharded over the `data` axis, params replicated —
+    N chips generate N batches' worth per dispatch (BASELINE "sampling"
+    API, scaled the TPU way: shardings + GSPMD, no device loops).
+
+    One compile per (batch, labels-presence) signature; construct once
+    and call per request. Latents are drawn with the SAME global-batch
+    key scheme as `generate_samples`, so for identical (key, count) the
+    sharded and single-device paths produce identical images up to
+    compilation-level float noise.
+    """
+
+    def __init__(self, gan: GAN, g_params, mesh=None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if mesh is None:
+            from locate_tpu.config import ParallelConfig
+            from locate_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(ParallelConfig(data_parallel=-1))
+        self.gan = gan
+        self.mesh = mesh
+        data_axis = mesh.axis_names[0]
+        self.n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self._batch = NamedSharding(mesh, P(data_axis))
+        rep = NamedSharding(mesh, P())
+        self.g_params = jax.device_put(g_params, rep)
+        apply = gan.generator.apply
+        self._fn = jax.jit(
+            apply,
+            in_shardings=(rep, self._batch, None),
+            out_shardings=self._batch,
+        )
+        self._fn_labeled = jax.jit(
+            apply,
+            in_shardings=(rep, self._batch, self._batch),
+            out_shardings=self._batch,
+        )
+
+    def __call__(self, key: jax.Array, count: int, labels=None,
+                 truncation: float = 0.0) -> np.ndarray:
+        """Generate `count` images (padded up to a multiple of the mesh
+        size on-device, trimmed on host). Returns uint8 NHWC."""
+        n = -(-count // self.n_devices) * self.n_devices  # round up
+        z = jax.device_put(
+            self.gan.sample_latents(key, n, truncation), self._batch
+        )
+        if labels is None and self.gan.config.num_classes:
+            labels = jnp.arange(n) % self.gan.config.num_classes
+        if labels is not None:
+            labels = jnp.asarray(labels)
+            if labels.shape[0] < n:  # pad to the rounded-up batch
+                labels = jnp.concatenate(
+                    [labels, jnp.zeros((n - labels.shape[0],), labels.dtype)]
+                )
+            labels = jax.device_put(labels, self._batch)
+            imgs = self._fn_labeled(self.g_params, z, labels)
+        else:
+            imgs = self._fn(self.g_params, z, None)
+        out = to_uint8(np.asarray(jax.device_get(imgs), np.float32))
+        return out[:count]
+
+
 def tile_grid(imgs: np.ndarray, cols: Optional[int] = None) -> np.ndarray:
     """Tile (N, H, W, C) uint8 images into one grid image."""
     n, h, w, c = imgs.shape
