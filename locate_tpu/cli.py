@@ -125,7 +125,9 @@ def cmd_sample(argv: List[str]) -> int:
 
 def cmd_export(argv: List[str]) -> int:
     """Export the latest checkpoint's (EMA) generator to a standalone .npz
-    + .json serving artifact."""
+    + .json serving artifact. `--compiled-batch N` additionally writes a
+    self-contained COMPILED .stablehlo artifact (jax.export: weights baked
+    in, runs under bare jax with no model code) for batch-N serving."""
     import jax
 
     from locate_tpu.io.checkpoint import CheckpointManager
@@ -147,6 +149,15 @@ def cmd_export(argv: List[str]) -> int:
     out = _str_flag(flags, "out") or f"{cfg.workdir}/export/generator_{int(state.step)}"
     path = export_generator(gan.config, g_params, out)
     print(f"[locate-tpu] exported generator (step {int(state.step)}) to {path}")
+    compiled_batch = _str_flag(flags, "compiled-batch")
+    if compiled_batch:
+        from locate_tpu.io.export import export_compiled
+
+        cpath = export_compiled(
+            gan.config, g_params, out, batch=int(compiled_batch),
+            compute_dtype=cfg.train.compute_dtype,
+        )
+        print(f"[locate-tpu] exported compiled serving artifact to {cpath}")
     mgr.close()
     return 0
 

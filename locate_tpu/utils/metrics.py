@@ -38,11 +38,17 @@ class MetricsLogger:
                 # the next save). The replayed steps will be re-logged, so
                 # drop stale records with step > resume_step first — the
                 # file must stay exactly one monotone trajectory.
+                kept = []
                 with open(jsonl_path) as f:
-                    kept = [
-                        line for line in f
-                        if json.loads(line).get("step", 0) <= resume_step
-                    ]
+                    for line in f:
+                        try:
+                            rec = json.loads(line)
+                        except json.JSONDecodeError:
+                            # A crash mid-write leaves a torn final line —
+                            # the very scenario this rewind handles. Drop it.
+                            continue
+                        if rec.get("step", 0) <= resume_step:
+                            kept.append(line)
                 with open(jsonl_path, "w") as f:
                     f.writelines(kept)
             # append on resume; a fresh run truncates so the artifact

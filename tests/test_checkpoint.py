@@ -166,3 +166,66 @@ def test_restore_backfills_ema_enabled_on_resume(tiny_config, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b).astype(np.asarray(a).dtype)
         )
+
+
+def test_topology_migration_roundtrip(tiny_config, tmp_path):
+    """Production resume across topologies (SURVEY.md §6 failure recovery,
+    scaled): a checkpoint saved single-device restores directly INTO an
+    8-device DP×TP-sharded template (orbax reshards on load from the
+    template's shardings), trains a step there, saves, and restores back
+    onto a single device — values bitwise through both migrations."""
+    import dataclasses
+
+    from locate_tpu.config import ParallelConfig
+    from locate_tpu.parallel.mesh import make_mesh
+    from locate_tpu.parallel.sharding import (
+        make_sharded_train_step,
+        place_train_state,
+    )
+
+    cfg = dataclasses.replace(
+        tiny_config, parallel=ParallelConfig(data_parallel=4, model_parallel=2)
+    )
+    gan = build_gan(cfg)
+
+    # --- phase 1: single-device training run saves a checkpoint
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    step1 = jax.jit(make_train_step(cfg, gan))
+    state, _ = step1(state, make_batch(cfg, jax.random.PRNGKey(1)))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(state, step=1)
+    single_leaves = jax.tree.leaves(state)
+
+    # --- phase 2: restore into a 4x2 DP×TP-sharded template
+    mesh = make_mesh(cfg.parallel)
+    jit_step, shardings_for, b_sharding = make_sharded_train_step(cfg, gan, mesh)
+    template = place_train_state(
+        create_train_state(cfg, gan, jax.random.PRNGKey(9)),
+        shardings_for(create_train_state(cfg, gan, jax.random.PRNGKey(9))),
+    )
+    sharded = mgr.restore(template, step=1)
+    # the restored leaves carry the TEMPLATE's (mesh) shardings, not the
+    # checkpoint's single-device placement...
+    specs = jax.tree.leaves(shardings_for(template))
+    for leaf, want in zip(jax.tree.leaves(sharded), specs):
+        assert leaf.sharding.is_equivalent_to(want, leaf.ndim), (
+            leaf.sharding, want)
+    # ...and the values are the saved ones, bit for bit
+    for a, b in zip(jax.tree.leaves(sharded), single_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the sharded program actually steps from the migrated state
+    batch = jax.device_put(make_batch(cfg, jax.random.PRNGKey(2)),
+                           {"image": b_sharding, "label": b_sharding})
+    sharded, metrics = jit_step(sharded)(sharded, batch)
+    assert np.isfinite(float(metrics["d_loss"]))
+    mgr.save(sharded, step=2)
+    mgr.wait()
+    sharded_leaves = [np.asarray(x) for x in jax.tree.leaves(sharded)]
+
+    # --- phase 3: migrate BACK to a single device
+    back = mgr.restore(create_train_state(cfg, gan, jax.random.PRNGKey(3)),
+                       step=2)
+    for a, b in zip(jax.tree.leaves(back), sharded_leaves):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    mgr.close()
