@@ -103,9 +103,11 @@ def stage_fusable(cfg: ModelConfig) -> bool:
 
 
 def _apply_fused_stage(cfg: ModelConfig, in_ch, out_ch, compute_dtype,
-                       conv_params, attn_params, x):
+                       conv_params, attn_params, x, upsample=False):
     """Unpack the (unfused-layout) params and call the fused kernel.
-    `attn_params=None` -> conv block only."""
+    `attn_params=None` -> conv block only. With `upsample`, `x` is the
+    pre-upsample coarse tensor and the kernel fuses the nearest-2x in
+    (the expanded tensor never exists in HBM)."""
     import jax as _jax
 
     from locate_tpu.ops.attention import coord_features
@@ -125,12 +127,15 @@ def _apply_fused_stage(cfg: ModelConfig, in_ch, out_ch, compute_dtype,
         act=cfg.act,
         leaky_slope=cfg.leaky_slope,
         interpret=_jax.default_backend() == "cpu",
+        upsample=upsample,
     )
     if attn_params is not None:
         acfg = cfg.attention
         w1 = attn_params["to_hidden"]["w"][0, 0]       # (Co+P, Hd)
         w1x, w1p = w1[:out_ch], w1[out_ch:]
         _, h, w, _ = x.shape
+        if upsample:
+            h, w = 2 * h, 2 * w  # pos features live at the FINE resolution
         if acfg.pos_features:
             pos = coord_features(h, w, acfg.pos_features, jnp.float32)
             pos_proj = pos.reshape(h * w, acfg.pos_features) @ w1p.astype(
@@ -162,15 +167,22 @@ def _maybe_fused_stage(layers, kinds, cfg: ModelConfig, compute_dtype) -> Layer:
         i = 0
         while i < len(layers):
             kind = kinds[i]
-            big = x.shape[1] * x.shape[2] >= FUSE_MIN_LOCATIONS
-            # at >= FUSE_MIN_LOCATIONS both flavors fuse: the
-            # conv+attention PAIR (one kernel incl. the gate) and bare
-            # conv blocks (mode=None). Round-2 forward-only measurement
-            # had conv-only at <= 1.02x; the round-3 hand-written
-            # backward tips it to 1.21x fwd+bwd at 512^2
-            # (docs/DESIGN.md round-3 table), so it is wired in at the
-            # same tier. Below the gate everything stays on XLA convs +
-            # standalone fused attention.
+            # at >= FUSE_MIN_LOCATIONS every flavor fuses: the
+            # conv+attention PAIR (one kernel incl. the gate), bare conv
+            # blocks (mode=None; round-3 hand-written backward tips it
+            # to 1.21x fwd+bwd at 512^2, docs/DESIGN.md), and — round 3
+            # — the generator's upsample+conv[+attn] stage head
+            # (`upsample=True`: the 2x-expanded tensor, the largest in
+            # the network, never exists in HBM). Below the gate
+            # everything stays on XLA convs + standalone fused attention.
+            up = kind[0] == "up" and i + 1 < len(layers) and kinds[i + 1][0] == "conv"
+            if up:
+                i += 1  # the candidate conv block; x stays coarse
+                kind = kinds[i]
+            hs, ws = x.shape[1], x.shape[2]
+            if up:
+                hs, ws = 2 * hs, 2 * ws  # fused output is at FINE res
+            big = hs * ws >= FUSE_MIN_LOCATIONS
             fuse_pair = (
                 kind[0] == "conv"
                 and big
@@ -181,16 +193,20 @@ def _maybe_fused_stage(layers, kinds, cfg: ModelConfig, compute_dtype) -> Layer:
             if fuse_pair:
                 _, cin, cout = kind
                 x = _apply_fused_stage(
-                    cfg, cin, cout, compute_dtype, params[i], params[i + 1], x
+                    cfg, cin, cout, compute_dtype, params[i], params[i + 1],
+                    x, upsample=up,
                 )
                 i += 2
             elif kind[0] == "conv" and big:
                 _, cin, cout = kind
                 x = _apply_fused_stage(
-                    cfg, cin, cout, compute_dtype, params[i], None, x
+                    cfg, cin, cout, compute_dtype, params[i], None, x,
+                    upsample=up,
                 )
                 i += 1
             else:
+                if up:
+                    i -= 1  # not eligible: run the upsample layer itself
                 x = layers[i].apply(params[i], x)
                 i += 1
         return x
@@ -211,7 +227,7 @@ def generator_stage(
     layers, kinds = [], []
     if not first:
         layers.append(upsample_nearest(2))
-        kinds.append(("other",))
+        kinds.append(("up",))  # fusable into the following conv block
     layers.append(conv_block(in_ch, out_ch, cfg, compute_dtype))
     kinds.append(("conv", in_ch, out_ch))
     for _ in range(cfg.blocks_per_stage - 1):

@@ -94,11 +94,25 @@ SQRT_HALF = 0.7071067811865476
 # ---------------------------------------------------------------------------
 
 
+def _up2x(x: jax.Array) -> jax.Array:
+    """Nearest-2x upsample, identical construction to
+    ops/conv.upsample_nearest (broadcast-reshape, no gather)."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
 def stage_oracle(ops: dict, *, h: int, w: int, groups: int, eps: float,
-                 act: str, leaky_slope: float, mode: Optional[str]) -> jax.Array:
+                 act: str, leaky_slope: float, mode: Optional[str],
+                 upsample: bool = False) -> jax.Array:
     """Exact XLA composition of the fused stage (lax convs, f32 norm/gate
-    stats) — the custom_vjp backward runs through jax.vjp of this."""
-    x = ops["x"]  # (N, H, W, C)
+    stats) — the custom_vjp backward runs through jax.vjp of this.
+    With `upsample`, ops["x"] is the COARSE (H/2, W/2) tensor and the
+    composition is upsample_nearest(2) -> conv block [-> gate], i.e. the
+    unfused generator stage head; (h, w) are always the FINE dims."""
+    x = ops["x"]  # (N, H, W, C) — or (N, H/2, W/2, C) when upsample
+    if upsample:
+        x = _up2x(x)
     n, _, _, c = x.shape
     cd = x.dtype
     afn = _act(act, leaky_slope)
@@ -186,10 +200,54 @@ def _row_unshift_sum(t0, t1, t2, width: int):
     return from_t0 + t1 + from_t2
 
 
+def _expand2x_rows(t2: jax.Array, wc: int) -> jax.Array:
+    """Nearest-2x expand of a coarse row-major (Rc*wc, C) buffer to
+    (2Rc*2wc, C): broadcast-reshape along new column-pair / row-pair axes
+    (sublane-only data movement, no gathers — the VMEM analogue of
+    ops/conv.upsample_nearest).
+
+    Mosaic note (probed on the real backend, round 3): these sublane
+    reshapes compile for f32 but NOT for bf16 (the packed (16, 128)
+    tiling rejects the shape casts) — callers must expand in f32 and
+    cast afterwards, which is bitwise identical since expansion is pure
+    duplication."""
+    c = t2.shape[-1]
+    rc = t2.shape[0] // wc
+    t = t2.reshape(rc, wc, c)
+    t = jnp.broadcast_to(t[:, :, None, :], (rc, wc, 2, c)).reshape(rc, 2 * wc, c)
+    t = jnp.broadcast_to(t[:, None], (rc, 2, 2 * wc, c)).reshape(2 * rc, 2 * wc, c)
+    return t.reshape(4 * rc * wc, c)
+
+
+def _expand2x_cols(row2: jax.Array, wc: int) -> jax.Array:
+    """Column-only nearest expand of one coarse row (wc, C) -> (2wc, C).
+    (A fine halo row is one of the two identical fine copies of its coarse
+    row, so row duplication is not needed.)"""
+    c = row2.shape[-1]
+    t = jnp.broadcast_to(row2.reshape(wc, 1, c), (wc, 2, c))
+    return t.reshape(2 * wc, c)
+
+
+def _pool2x(t2: jax.Array, w: int) -> jax.Array:
+    """Transpose of `_expand2x_rows`: 2x2 SUM-pool a fine row-major
+    (Rf*w, C) buffer to (Rf/2 * w/2, C) — the exact vjp of nearest-2x
+    upsampling."""
+    c = t2.shape[-1]
+    rf = t2.shape[0] // w
+    t = t2.reshape(rf // 2, 2, w // 2, 2, c).sum(axis=(1, 3))
+    return t.reshape((rf // 2) * (w // 2), c)
+
+
 def _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref, bc_ref,
-                skip_ref, *, width, rows, act, leaky_slope):
+                skip_ref, *, width, rows, act, leaky_slope, upsample=False):
     """Compute the conv-block output for one tile of `rows` image rows.
-    Returns (w2, x2): the (rows*W, Co) stage output and the raw x tile."""
+    Returns (w2, x2): the (rows*W, Co) stage output and the raw x tile.
+
+    With `upsample`, the x/halo refs hold the COARSE tensor ((rows/2)
+    coarse rows of width/2); norm+act runs at coarse resolution (1/4 the
+    VPU work — nearest-2x commutes with elementwise ops and GroupNorm
+    statistics are invariant under it) and the 2x expansion to the fine
+    tile happens in VMEM, so the upsampled tensor never exists in HBM."""
     i = pl.program_id(1)
     s = pl.num_programs(1)
     cd = x_ref.dtype
@@ -200,13 +258,33 @@ def _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref, bc_ref,
     def norm_act(t2):
         return afn(t2.astype(jnp.float32) * a + b).astype(cd)
 
-    x2 = x_ref[0]  # (rows*W, C)
+    x2 = x_ref[0]  # (rows*W, C) — or ((rows/2)*(W/2), C) coarse
     zero = jnp.zeros((), cd)
     # halo rows: zeroed at the image's top/bottom edge — the row conv is
     # bias-free, so a zero u row yields the column conv's SAME zero padding
-    u_up = jnp.where(i > 0, norm_act(up_ref[0]), zero)
-    u_dn = jnp.where(i < s - 1, norm_act(dn_ref[0]), zero)
-    u = jnp.concatenate([u_up, norm_act(x2), u_dn], axis=0)  # ((rows+2)W, C)
+    if upsample:
+        # expand in f32, cast after (Mosaic can't sublane-reshape bf16;
+        # bitwise identical — see _expand2x_rows)
+        def norm_act32(t2):
+            return afn(t2.astype(jnp.float32) * a + b)
+
+        wc_half = width // 2
+        u_up = jnp.where(
+            i > 0,
+            _expand2x_cols(norm_act32(up_ref[0]), wc_half).astype(cd),
+            zero,
+        )
+        u_dn = jnp.where(
+            i < s - 1,
+            _expand2x_cols(norm_act32(dn_ref[0]), wc_half).astype(cd),
+            zero,
+        )
+        u_mid = _expand2x_rows(norm_act32(x2), wc_half).astype(cd)
+    else:
+        u_up = jnp.where(i > 0, norm_act(up_ref[0]), zero)
+        u_dn = jnp.where(i < s - 1, norm_act(dn_ref[0]), zero)
+        u_mid = norm_act(x2)
+    u = jnp.concatenate([u_up, u_mid, u_dn], axis=0)  # ((rows+2)W, C)
 
     # (1,3) conv: f32 accumulation, ONE cast to cd (matches XLA conv's
     # internal f32 accumulate -> output dtype). When C < 128 the per-tap
@@ -240,8 +318,16 @@ def _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref, bc_ref,
     y = y.astype(cd) + bc_ref[:].astype(cd)
 
     if skip_ref is not None:
+        # 1x1 skip projection at COARSE resolution when upsampling (the
+        # matmul commutes with nearest expansion: 1/4 the MXU work).
+        # Matches the oracle bitwise: cast f32->cd commutes with the
+        # duplication, so expand-then-cast == cast-then-expand.
         skip = jnp.dot(x2, skip_ref[:], preferred_element_type=jnp.float32)
+        if upsample:
+            skip = _expand2x_rows(skip, width // 2)  # f32 expand (Mosaic)
         skip = skip.astype(cd)
+    elif upsample:  # identity skip: lossless cd->f32->cd round trip
+        skip = _expand2x_rows(x2.astype(jnp.float32), width // 2).astype(cd)
     else:
         skip = x2
     return (y + skip) * jnp.asarray(SQRT_HALF, cd), x2
@@ -256,19 +342,20 @@ def _gate_logits_of(w2, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref, act, slope):
 
 
 def _kernel_conv_only(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
-                      bc_ref, skip_ref, o_ref, *, width, rows, act, leaky_slope):
+                      bc_ref, skip_ref, o_ref, *, width, rows, act,
+                      leaky_slope, upsample=False):
     w2, _ = _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                         bc_ref, skip_ref, width=width, rows=rows, act=act,
-                        leaky_slope=leaky_slope)
+                        leaky_slope=leaky_slope, upsample=upsample)
     o_ref[0] = w2
 
 
 def _kernel_sigmoid(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                     bc_ref, skip_ref, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref,
-                    o_ref, *, width, rows, act, leaky_slope):
+                    o_ref, *, width, rows, act, leaky_slope, upsample=False):
     w2, _ = _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                         bc_ref, skip_ref, width=width, rows=rows, act=act,
-                        leaky_slope=leaky_slope)
+                        leaky_slope=leaky_slope, upsample=upsample)
     l = _gate_logits_of(w2, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref, act,
                         leaky_slope)
     g = jax.nn.sigmoid(l) * 2.0
@@ -278,12 +365,12 @@ def _kernel_sigmoid(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
 def _kernel_softmax_stats(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                           bc_ref, skip_ref, pp_ref, w1_ref, b1_ref, w2g_ref,
                           b2_ref, w_out_ref, m_ref, s_ref, m_acc, s_acc,
-                          *, width, rows, act, leaky_slope):
+                          *, width, rows, act, leaky_slope, upsample=False):
     """Conv pass fused with the flash-style gate-logit stats reduction."""
     sidx = pl.program_id(1)
     w2, _ = _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                         bc_ref, skip_ref, width=width, rows=rows, act=act,
-                        leaky_slope=leaky_slope)
+                        leaky_slope=leaky_slope, upsample=upsample)
     w_out_ref[0] = w2
     l = _gate_logits_of(w2, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref, act,
                         leaky_slope)
@@ -314,7 +401,7 @@ def _kernel_softmax_stats(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
 def _kernel_conv_bwd(x_ref, xu_ref, xd_ref, dw_ref, dwu_ref, dwd_ref,
                      a_ref, b_ref, wr_ref, wc_ref, skip_ref,
                      du_ref, dxs_ref, dwr_ref, dwc_ref, dbc_ref, dws_ref,
-                     *, width, rows, act, leaky_slope):
+                     *, width, rows, act, leaky_slope, upsample=False):
     """Backward of the conv-block core for one tile of image rows.
 
     Given dL/dw (the post-skip stage output grad, incl. 1-row halos — the
@@ -326,6 +413,12 @@ def _kernel_conv_bwd(x_ref, xu_ref, xd_ref, dw_ref, dwu_ref, dwd_ref,
       the sequential grid in constant-index f32 blocks.
     All convolution transposes are the forward's shifted MXU matmuls with
     the shift direction reversed (see _row_unshift_sum).
+
+    With `upsample`, the x refs are COARSE (as in the forward): u is
+    recomputed at coarse resolution and expanded in VMEM, while du/dxs
+    are 2x2-SUM-pooled back to coarse before the write — the vjp of
+    nearest expansion — so the fine-resolution gradient of the upsampled
+    tensor never exists in HBM either.
     """
     i = pl.program_id(1)
     s = pl.num_programs(1)
@@ -338,16 +431,35 @@ def _kernel_conv_bwd(x_ref, xu_ref, xd_ref, dw_ref, dwu_ref, dwd_ref,
     def norm_act(t2):
         return afn(t2.astype(jnp.float32) * a + b).astype(cd)
 
-    x2 = x_ref[0]                                    # (tw, C)
+    x2 = x_ref[0]                                    # (tw, C) [coarse if up]
     c = x2.shape[-1]
     co = dw_ref.shape[-1]
     tw = rows * width
     zero = jnp.zeros((), cd)
 
     # recompute u (and v) on the extended rows, halos zeroed at the edges
-    u_up = jnp.where(i > 0, norm_act(xu_ref[0]), zero)
-    u_dn = jnp.where(i < s - 1, norm_act(xd_ref[0]), zero)
-    u_ext = jnp.concatenate([u_up, norm_act(x2), u_dn], axis=0)
+    if upsample:
+        # f32 expand, cast after — see _expand2x_rows (Mosaic bf16 limit)
+        def norm_act32(t2):
+            return afn(t2.astype(jnp.float32) * a + b)
+
+        wc_half = width // 2
+        u_up = jnp.where(
+            i > 0,
+            _expand2x_cols(norm_act32(xu_ref[0]), wc_half).astype(cd),
+            zero,
+        )
+        u_dn = jnp.where(
+            i < s - 1,
+            _expand2x_cols(norm_act32(xd_ref[0]), wc_half).astype(cd),
+            zero,
+        )
+        u_mid = _expand2x_rows(norm_act32(x2), wc_half).astype(cd)
+    else:
+        u_up = jnp.where(i > 0, norm_act(xu_ref[0]), zero)
+        u_dn = jnp.where(i < s - 1, norm_act(xd_ref[0]), zero)
+        u_mid = norm_act(x2)
+    u_ext = jnp.concatenate([u_up, u_mid, u_dn], axis=0)
     wr3 = wr_ref[:]                                  # (3, C, Co) cd
     taps_e = _row_shift_taps(u_ext, width)
     if c < 128:  # same K=3C lane-concat MXU trick as the forward
@@ -402,7 +514,11 @@ def _kernel_conv_bwd(x_ref, xu_ref, xd_ref, dw_ref, dwu_ref, dwd_ref,
                              preferred_element_type=jnp.float32)
     t2 = jax.lax.dot_general(dv_c, wr3[2], tr,
                              preferred_element_type=jnp.float32)
-    du_ref[0] = _row_unshift_sum(t0, t1, t2, width).astype(cd)
+    du_fine = _row_unshift_sum(t0, t1, t2, width)    # (tw, C) f32
+    if upsample:
+        du_ref[0] = _pool2x(du_fine, width).astype(cd)
+    else:
+        du_ref[0] = du_fine.astype(cd)
 
     u_c = u_ext[width:width + tw]
     taps_c = _row_shift_taps(u_c, width)
@@ -418,14 +534,18 @@ def _kernel_conv_bwd(x_ref, xu_ref, xd_ref, dw_ref, dwu_ref, dwd_ref,
     dbc_part = jnp.sum(dwf, axis=0, keepdims=True)   # (1, Co); dbc sees
     # the sqrt(1/2)-scaled grad exactly like the oracle's  y + b  term
 
+    # skip-path grads: with upsample the forward skip is up(skip(x_c)), so
+    # its vjp pools dy0 to coarse FIRST and the 1x1 transpose runs at
+    # coarse resolution (1/4 the MXU work, mirroring the forward)
+    dy0_s = _pool2x(dwf, width).astype(cd) if upsample else dy0_c
     if skip_ref is not None:
         dxs_ref[0] = jax.lax.dot_general(
-            dy0_c, skip_ref[:], tr, preferred_element_type=jnp.float32
+            dy0_s, skip_ref[:], tr, preferred_element_type=jnp.float32
         ).astype(cd)
-        dws_part = jax.lax.dot_general(x2, dy0_c, red0,
+        dws_part = jax.lax.dot_general(x2, dy0_s, red0,
                                        preferred_element_type=jnp.float32)
     else:
-        dxs_ref[0] = dy0_c                           # identity skip (C==Co)
+        dxs_ref[0] = dy0_s                           # identity skip (C==Co)
 
     @pl.when(jnp.logical_and(nidx == 0, i == 0))
     def _():
@@ -479,12 +599,12 @@ def _fold_groupnorm(x4, gn_scale, gn_bias, groups: int, eps: float):
 
 
 def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
-                          mode, interpret):
-    x4 = ops["x"]
+                          mode, interpret, upsample=False):
+    x4 = ops["x"]  # coarse (N, h/2, w/2, C) when upsample; (h, w) are FINE
     n, _, _, c = x4.shape
     cd = x4.dtype
     co = ops["w_col"].shape[-1]
-    x2 = x4.reshape(n, h * w, c)
+    x2 = x4.reshape(n, (h * w) // 4 if upsample else h * w, c)
 
     a, b = _fold_groupnorm(x4, ops["gn_scale"], ops["gn_bias"], groups, eps)
     # K < 128 underutilizes the MXU's 128-deep contraction: pre-stack the
@@ -510,23 +630,44 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
         hd = 0
 
     rows = _pick_rows(h, w, c, co, hd)
+    if upsample:
+        rows = max(rows, 2)  # a fine tile must cover whole coarse rows
     s = h // rows
     tw = rows * w
 
-    x_spec = pl.BlockSpec((1, tw, c), lambda ni, i: (ni, i, 0),
-                          memory_space=pltpu.VMEM)
-    # 1-row halo blocks; index maps clamp at the image edge (the kernel
-    # masks those rows to zero, so the clamped data is never used)
-    up_spec = pl.BlockSpec(
-        (1, w, c),
-        lambda ni, i: (ni, jnp.maximum(i * rows - 1, 0), 0),
-        memory_space=pltpu.VMEM,
-    )
-    dn_spec = pl.BlockSpec(
-        (1, w, c),
-        lambda ni, i: (ni, jnp.minimum((i + 1) * rows, h - 1), 0),
-        memory_space=pltpu.VMEM,
-    )
+    if upsample:
+        # x/halo blocks index the COARSE array: fine tile i covers coarse
+        # rows [i*rows/2, (i+1)*rows/2); the fine halo row r0-1 (odd) is
+        # the second copy of coarse row r0/2 - 1, so halos are 1 COARSE
+        # row with the same clamped maps, in coarse index space
+        rc, wc_half = rows // 2, w // 2
+        x_spec = pl.BlockSpec((1, rc * wc_half, c), lambda ni, i: (ni, i, 0),
+                              memory_space=pltpu.VMEM)
+        up_spec = pl.BlockSpec(
+            (1, wc_half, c),
+            lambda ni, i: (ni, jnp.maximum(i * rc - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+        dn_spec = pl.BlockSpec(
+            (1, wc_half, c),
+            lambda ni, i: (ni, jnp.minimum((i + 1) * rc, (h // 2) - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        x_spec = pl.BlockSpec((1, tw, c), lambda ni, i: (ni, i, 0),
+                              memory_space=pltpu.VMEM)
+        # 1-row halo blocks; index maps clamp at the image edge (the kernel
+        # masks those rows to zero, so the clamped data is never used)
+        up_spec = pl.BlockSpec(
+            (1, w, c),
+            lambda ni, i: (ni, jnp.maximum(i * rows - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+        dn_spec = pl.BlockSpec(
+            (1, w, c),
+            lambda ni, i: (ni, jnp.minimum((i + 1) * rows, h - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
     ab_spec = pl.BlockSpec((1, 1, c), lambda ni, i: (ni, 0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tw, co), lambda ni, i: (ni, i, 0),
@@ -542,7 +683,7 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
 
     def bind(kern):
         fn = functools.partial(kern, width=w, rows=rows, act=act,
-                               leaky_slope=leaky_slope)
+                               leaky_slope=leaky_slope, upsample=upsample)
         if has_skip:
             return fn
         # arity without the skip ref
@@ -621,17 +762,19 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
 
 
 def _pallas_conv_backward(ops: dict, dw2: jax.Array, *, h, w, groups, eps,
-                          act, leaky_slope, interpret) -> dict:
+                          act, leaky_slope, interpret, upsample=False) -> dict:
     """Hand-written backward of the conv-block core: Pallas kernel for the
     conv transposes + weight grads (see _kernel_conv_bwd), XLA epilogue
     for the act' + GroupNorm-statistics backward (one bandwidth-bound
     pass, matching the oracle's f32 norm math). `dw2` is dL/d(stage
-    output before any gate), shape (N, H*W, Co)."""
+    output before any gate), shape (N, H*W, Co) — always FINE; with
+    `upsample` the x side (and the du/dxs outputs) are coarse."""
     x4 = ops["x"]
     n, _, _, c = x4.shape
     cd = x4.dtype
     co = ops["w_col"].shape[-1]
-    x2 = x4.reshape(n, h * w, c)
+    hw_x = (h * w) // 4 if upsample else h * w  # x-side (coarse) extent
+    x2 = x4.reshape(n, hw_x, c)
 
     a, b = _fold_groupnorm(x4, ops["gn_scale"], ops["gn_bias"], groups, eps)
     wr3 = ops["w_row"].reshape(3, c, co).astype(cd)
@@ -639,39 +782,45 @@ def _pallas_conv_backward(ops: dict, dw2: jax.Array, *, h, w, groups, eps,
     has_skip = "w_skip" in ops
 
     rows = _pick_rows(h, w, c, co, 0, budget=2 * 1024 * 1024)
+    if upsample:
+        rows = max(rows, 2)
     s = h // rows
     tw = rows * w
+    # x-side tile geometry (coarse when upsampling; see the forward)
+    x_rows = rows // 2 if upsample else rows
+    x_w = w // 2 if upsample else w
+    x_h = h // 2 if upsample else h
 
-    def tile_spec(ch):
-        return pl.BlockSpec((1, tw, ch), lambda ni, i: (ni, i, 0),
+    def tile_spec(ch, trows, tw_):
+        return pl.BlockSpec((1, trows * tw_, ch), lambda ni, i: (ni, i, 0),
                             memory_space=pltpu.VMEM)
 
-    def halo_specs(ch):
-        up = pl.BlockSpec((1, w, ch),
-                          lambda ni, i: (ni, jnp.maximum(i * rows - 1, 0), 0),
+    def halo_specs(ch, trows, tw_, th):
+        up = pl.BlockSpec((1, tw_, ch),
+                          lambda ni, i: (ni, jnp.maximum(i * trows - 1, 0), 0),
                           memory_space=pltpu.VMEM)
-        dn = pl.BlockSpec((1, w, ch),
-                          lambda ni, i: (ni, jnp.minimum((i + 1) * rows, h - 1), 0),
+        dn = pl.BlockSpec((1, tw_, ch),
+                          lambda ni, i: (ni, jnp.minimum((i + 1) * trows, th - 1), 0),
                           memory_space=pltpu.VMEM)
         return up, dn
 
     ab_spec = pl.BlockSpec((1, 1, c), lambda ni, i: (ni, 0, 0),
                            memory_space=pltpu.VMEM)
-    xu_spec, xd_spec = halo_specs(c)
-    du_spec, dd_spec = halo_specs(co)
-    in_specs = [tile_spec(c), xu_spec, xd_spec,
-                tile_spec(co), du_spec, dd_spec,
+    xu_spec, xd_spec = halo_specs(c, x_rows, x_w, x_h)
+    du_spec, dd_spec = halo_specs(co, rows, w, h)
+    in_specs = [tile_spec(c, x_rows, x_w), xu_spec, xd_spec,
+                tile_spec(co, rows, w), du_spec, dd_spec,
                 ab_spec, ab_spec, _full_spec(wr3.shape), _full_spec(wc3.shape)]
     in_args = [x2, x2, x2, dw2, dw2, dw2, a, b, wr3, wc3]
     if has_skip:
         in_specs.append(_full_spec((c, co)))
         in_args.append(ops["w_skip"].reshape(c, co).astype(cd))
 
-    out_specs = [tile_spec(c), tile_spec(c),
+    out_specs = [tile_spec(c, x_rows, x_w), tile_spec(c, x_rows, x_w),
                  _full_spec(wr3.shape), _full_spec(wc3.shape),
                  _full_spec((1, co))]
-    out_shapes = [jax.ShapeDtypeStruct((n, h * w, c), cd),
-                  jax.ShapeDtypeStruct((n, h * w, c), cd),
+    out_shapes = [jax.ShapeDtypeStruct((n, hw_x, c), cd),
+                  jax.ShapeDtypeStruct((n, hw_x, c), cd),
                   jax.ShapeDtypeStruct((3, c, co), jnp.float32),
                   jax.ShapeDtypeStruct((3, co, co), jnp.float32),
                   jax.ShapeDtypeStruct((1, co), jnp.float32)]
@@ -680,7 +829,7 @@ def _pallas_conv_backward(ops: dict, dw2: jax.Array, *, h, w, groups, eps,
         out_shapes.append(jax.ShapeDtypeStruct((c, co), jnp.float32))
 
     fn = functools.partial(_kernel_conv_bwd, width=w, rows=rows, act=act,
-                           leaky_slope=leaky_slope)
+                           leaky_slope=leaky_slope, upsample=upsample)
     if has_skip:
         kern = fn
     else:
@@ -701,12 +850,16 @@ def _pallas_conv_backward(ops: dict, dw2: jax.Array, *, h, w, groups, eps,
         du2, dxs2, dwr, dwc, dbc = outs
 
     # ---- XLA epilogue: act' + GroupNorm backward (f32, matches oracle) --
+    # Runs over the x-side (coarse when upsampling: du2 was pooled in the
+    # kernel, and the GN-statistics vjp of the fine composition reduces to
+    # exactly the coarse-side GN vjp applied to the pooled du — the same
+    # commutation that lets the forward fold coarse stats).
     cg = c // groups
-    xf = x2.astype(jnp.float32).reshape(n, h * w, groups, cg)
+    xf = x2.astype(jnp.float32).reshape(n, hw_x, groups, cg)
     mean = xf.mean(axis=(1, 3), keepdims=True)
     var = xf.var(axis=(1, 3), keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
-    xhat = ((xf - mean) * rstd).reshape(n, h * w, c)
+    xhat = ((xf - mean) * rstd).reshape(n, hw_x, c)
     # act was evaluated on the cd-cast pre-activation; take its
     # subgradient at exactly those values
     z_cd = (xhat * ops["gn_scale"].astype(jnp.float32)
@@ -716,11 +869,11 @@ def _pallas_conv_backward(ops: dict, dw2: jax.Array, *, h, w, groups, eps,
     d_scale = jnp.sum(dz * xhat, axis=(0, 1))
     d_bias = jnp.sum(dz, axis=(0, 1))
     dzs = (dz * ops["gn_scale"].astype(jnp.float32)).reshape(
-        n, h * w, groups, cg)
-    xhat_g = xhat.reshape(n, h * w, groups, cg)
+        n, hw_x, groups, cg)
+    xhat_g = xhat.reshape(n, hw_x, groups, cg)
     m1 = dzs.mean(axis=(1, 3), keepdims=True)
     m2 = (dzs * xhat_g).mean(axis=(1, 3), keepdims=True)
-    dx_norm = (rstd * (dzs - m1 - xhat_g * m2)).reshape(n, h * w, c)
+    dx_norm = (rstd * (dzs - m1 - xhat_g * m2)).reshape(n, hw_x, c)
     dx = (dx_norm + dxs2.astype(jnp.float32)).astype(cd)
 
     grads = {
@@ -742,7 +895,7 @@ _CONV_KEYS = ("x", "gn_scale", "gn_bias", "w_row", "w_col", "b_col", "w_skip")
 
 @functools.lru_cache(maxsize=None)
 def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
-                     oracle_bwd=False):
+                     oracle_bwd=False, upsample=False):
     """custom_vjp op over a dict of operands: Pallas forward; hand-written
     Pallas backward (round 3) for leaky_relu/relu — gate backward via the
     fused-attention bwd kernels on the pre-gate output w (saved by the
@@ -752,7 +905,7 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
     back to jax.vjp of the exact XLA oracle. First-order only either way
     (grad-of-grad goes through the oracle twin, see train/step.py)."""
     kw = dict(h=h, w=w, groups=groups, eps=eps, act=act,
-              leaky_slope=leaky_slope, mode=mode)
+              leaky_slope=leaky_slope, mode=mode, upsample=upsample)
     hand_written = (act in _PALLAS_BWD_ACTS) and not oracle_bwd
 
     # The backward chain is itself a custom_vjp op so grad-of-grad stays
@@ -770,6 +923,7 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
             return _pallas_conv_backward(
                 ops, gy2, h=h, w=w, groups=groups, eps=eps, act=act,
                 leaky_slope=leaky_slope, interpret=interpret,
+                upsample=upsample,
             )
         # gated: gate backward on the pre-gate output w (the stage's gate
         # IS the standalone locate-attention block applied at w); w is
@@ -779,6 +933,7 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
         w_pre2 = _pallas_stage_forward(
             conv_ops, h=h, w=w, groups=groups, eps=eps, act=act,
             leaky_slope=leaky_slope, mode=None, interpret=interpret,
+            upsample=upsample,
         ).reshape(n, h * w, co)
         if mode == "softmax":
             from locate_tpu.ops.pallas.fused_attention import (
@@ -800,7 +955,7 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
         )
         grads = _pallas_conv_backward(
             ops, dw2, h=h, w=w, groups=groups, eps=eps, act=act,
-            leaky_slope=leaky_slope, interpret=interpret,
+            leaky_slope=leaky_slope, interpret=interpret, upsample=upsample,
         )
         grads.update(pos_proj=dpp, w1x=dw1, b1=db1, w2=dw2g, b2=db2)
         return grads
@@ -859,10 +1014,20 @@ def fused_stage(
     b2: Optional[jax.Array] = None,         # (Cout,)
     interpret: bool = False,
     oracle_bwd: bool = False,               # force the XLA-oracle backward
+    upsample: bool = False,                 # x is COARSE; fuse nearest-2x in
 ) -> jax.Array:
     """Fused pre-activation residual conv block with optional fused
-    residual-form location attention. See module docstring."""
+    residual-form location attention. See module docstring.
+
+    With `upsample`, `x` is the PRE-upsample (H/2, W/2) tensor and the op
+    computes the whole `upsample_nearest(2) -> conv block [-> gate]`
+    generator stage head in one pass: the 2x-expanded tensor (the largest
+    in the network) never exists in HBM, norm/act/skip run at coarse
+    resolution, and the backward pools gradients to coarse in-kernel.
+    `pos_proj` (and the output) are at the FINE resolution."""
     n, h, w_, c = x.shape
+    if upsample:
+        h, w_ = 2 * h, 2 * w_
     ops = {
         "x": x,
         "gn_scale": gn_scale,
@@ -881,6 +1046,6 @@ def fused_stage(
         ops.update(pos_proj=pos_proj, w1x=w1x, b1=b1, w2=w2, b2=b2)
     core = _make_stage_core(
         h, w_, int(groups), float(eps), act, float(leaky_slope), mode,
-        bool(interpret), bool(oracle_bwd),
+        bool(interpret), bool(oracle_bwd), bool(upsample),
     )
     return core(ops)

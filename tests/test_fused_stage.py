@@ -89,10 +89,9 @@ def test_fused_stage_forward_matches_oracle(mode, skip_proj):
 
 
 def test_fused_stage_generator_multiblock_and_upsample():
-    """blocks_per_stage=2: the first conv block runs the conv-only fused
-    kernel (round 3: wired in at the same tier gate — 1.21x fwd+bwd at
-    512^2), the second fuses with the attention; the upsample stays a
-    plain layer."""
+    """blocks_per_stage=2: the upsample fuses INTO the first conv block
+    (round 3, `upsample=True` — the 2x-expanded tensor never exists in
+    HBM), the second conv block fuses with the attention."""
     cfg = _model_cfg("sigmoid", blocks_per_stage=2)
     fused, oracle = _gen_pair(cfg, 16, 32, 32)
     params = oracle.init(jax.random.PRNGKey(0))
@@ -102,6 +101,84 @@ def test_fused_stage_generator_multiblock_and_upsample():
     want = oracle.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
+def test_fused_stage_upsample_triple_grads(mode):
+    """The full generator stage head — upsample + conv block + attention —
+    as ONE fused kernel call (blocks_per_stage=1): fwd and grads wrt x and
+    every param leaf vs the unfused composition."""
+    cfg = _model_cfg(mode)
+    fused, oracle = _gen_pair(cfg, 16, 32, 32)
+    params = oracle.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda p: p + 0.02, params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 16), jnp.float32)
+
+    def loss(layer):
+        def f(p, xx):
+            y = layer.apply(p, xx)
+            return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+        return f
+
+    got = fused.apply(params, x)
+    want = oracle.apply(params, x)
+    assert got.shape == (2, 32, 32, 32)  # stage upsamples 16 -> 32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    (gp_f, gx_f) = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    (gp_o, gx_o) = jax.grad(loss(oracle), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_o),
+                               rtol=5e-5, atol=5e-5)
+    for (kf, lf), (ko, lo) in zip(
+        jax.tree_util.tree_leaves_with_path(gp_f),
+        jax.tree_util.tree_leaves_with_path(gp_o),
+    ):
+        if mode == "softmax" and "to_logits" in str(kf) and lf.ndim == 1:
+            continue  # db2 analytically zero under softmax shift invariance
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lo), rtol=5e-5, atol=5e-5,
+            err_msg=str(kf),
+        )
+
+
+def test_fused_stage_upsample_identity_skip():
+    """upsample=True with C == Co (identity skip): the skip path is
+    up(x) itself, expanded in VMEM."""
+    from locate_tpu.ops.pallas.fused_stage import fused_stage, stage_oracle
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    n, hc, wc, c = 2, 8, 8, 32
+    x = jax.random.normal(ks[0], (n, hc, wc, c), jnp.float32)
+    ops = dict(
+        x=x,
+        gn_scale=1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+        gn_bias=0.1 * jax.random.normal(ks[2], (c,)),
+        w_row=0.1 * jax.random.normal(ks[3], (1, 3, c, c)),
+        w_col=0.1 * jax.random.normal(ks[4], (3, 1, c, c)),
+        b_col=0.1 * jax.random.normal(ks[5], (c,)),
+    )
+
+    def fused_fn(o):
+        return fused_stage(o["x"], o["gn_scale"], o["gn_bias"], o["w_row"],
+                           o["w_col"], o["b_col"], None, groups=4,
+                           mode=None, interpret=True, upsample=True)
+
+    def oracle_fn(o):
+        return stage_oracle(o, h=2 * hc, w=2 * wc, groups=4, eps=1e-5,
+                            act="leaky_relu", leaky_slope=0.2, mode=None,
+                            upsample=True)
+
+    np.testing.assert_allclose(np.asarray(fused_fn(ops)),
+                               np.asarray(oracle_fn(ops)),
+                               rtol=2e-5, atol=2e-5)
+
+    def run(fn):
+        return jax.grad(lambda o: jnp.sum(jnp.sin(fn(o))))(ops)
+
+    got, want = run(fused_fn), run(oracle_fn)
+    for k in ops:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=5e-5, atol=5e-5, err_msg=k)
 
 
 @pytest.mark.parametrize("mode", ["sigmoid", "softmax"])
