@@ -103,11 +103,14 @@ def stage_fusable(cfg: ModelConfig) -> bool:
 
 
 def _apply_fused_stage(cfg: ModelConfig, in_ch, out_ch, compute_dtype,
-                       conv_params, attn_params, x, upsample=False):
+                       conv_params, attn_params, x, upsample=False,
+                       downsample=False):
     """Unpack the (unfused-layout) params and call the fused kernel.
     `attn_params=None` -> conv block only. With `upsample`, `x` is the
     pre-upsample coarse tensor and the kernel fuses the nearest-2x in
-    (the expanded tensor never exists in HBM)."""
+    (the expanded tensor never exists in HBM); with `downsample` the
+    discriminator stage's trailing 2x2 avg-pool fuses into the output
+    write (the fine post-gate tensor never exists in HBM)."""
     import jax as _jax
 
     from locate_tpu.ops.attention import coord_features
@@ -128,6 +131,7 @@ def _apply_fused_stage(cfg: ModelConfig, in_ch, out_ch, compute_dtype,
         leaky_slope=cfg.leaky_slope,
         interpret=_jax.default_backend() == "cpu",
         upsample=upsample,
+        downsample=downsample,
     )
     if attn_params is not None:
         acfg = cfg.attention
@@ -192,18 +196,20 @@ def _maybe_fused_stage(layers, kinds, cfg: ModelConfig, compute_dtype) -> Layer:
             )
             if fuse_pair:
                 _, cin, cout = kind
+                dn = (not up) and i + 2 < len(layers) and kinds[i + 2][0] == "down"
                 x = _apply_fused_stage(
                     cfg, cin, cout, compute_dtype, params[i], params[i + 1],
-                    x, upsample=up,
+                    x, upsample=up, downsample=dn,
                 )
-                i += 2
+                i += 3 if dn else 2
             elif kind[0] == "conv" and big:
                 _, cin, cout = kind
+                dn = (not up) and i + 1 < len(layers) and kinds[i + 1][0] == "down"
                 x = _apply_fused_stage(
                     cfg, cin, cout, compute_dtype, params[i], None, x,
-                    upsample=up,
+                    upsample=up, downsample=dn,
                 )
-                i += 1
+                i += 2 if dn else 1
             else:
                 if up:
                     i -= 1  # not eligible: run the upsample layer itself
@@ -270,7 +276,7 @@ def discriminator_stage(
         kinds.append(("attn",))
     if not last:
         layers.append(downsample_avg(2))
-        kinds.append(("other",))
+        kinds.append(("down",))  # fusable into the preceding conv/attn
     return _maybe_fused_stage(layers, kinds, cfg, compute_dtype)
 
 

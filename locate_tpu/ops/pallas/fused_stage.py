@@ -102,14 +102,25 @@ def _up2x(x: jax.Array) -> jax.Array:
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
+def _down2x(y: jax.Array) -> jax.Array:
+    """2x2 avg-pool in f32 (sum * 1/4 — the kernel's exact pooling math),
+    cast back to the input dtype; matches ops/conv.downsample_avg up to
+    f32 reduction order."""
+    n, h, w, c = y.shape
+    p = y.astype(jnp.float32).reshape(n, h // 2, 2, w // 2, 2, c)
+    return (p.sum(axis=(2, 4)) * 0.25).astype(y.dtype)
+
+
 def stage_oracle(ops: dict, *, h: int, w: int, groups: int, eps: float,
                  act: str, leaky_slope: float, mode: Optional[str],
-                 upsample: bool = False) -> jax.Array:
+                 upsample: bool = False, downsample: bool = False) -> jax.Array:
     """Exact XLA composition of the fused stage (lax convs, f32 norm/gate
     stats) — the custom_vjp backward runs through jax.vjp of this.
     With `upsample`, ops["x"] is the COARSE (H/2, W/2) tensor and the
     composition is upsample_nearest(2) -> conv block [-> gate], i.e. the
-    unfused generator stage head; (h, w) are always the FINE dims."""
+    unfused generator stage head; (h, w) are always the FINE dims.
+    With `downsample`, the composition ends in a 2x2 avg-pool — the
+    unfused discriminator stage tail — and the output is (H/2, W/2)."""
     x = ops["x"]  # (N, H, W, C) — or (N, H/2, W/2, C) when upsample
     if upsample:
         x = _up2x(x)
@@ -140,7 +151,7 @@ def stage_oracle(ops: dict, *, h: int, w: int, groups: int, eps: float,
     y = (y + skip) * jnp.asarray(SQRT_HALF, cd)
 
     if mode is None:
-        return y
+        return _down2x(y) if downsample else y
 
     # residual-form locate gate (shared math with ops/attention.locate_gate)
     co = y.shape[-1]
@@ -163,8 +174,8 @@ def stage_oracle(ops: dict, *, h: int, w: int, groups: int, eps: float,
         g = jax.nn.softmax(logits, axis=1) * float(h * w)
     else:
         raise ValueError(f"unknown gate mode {mode!r}")
-    out = (y2.astype(jnp.float32) * g).astype(cd)
-    return out.reshape(n, h, w, co)
+    out = (y2.astype(jnp.float32) * g).astype(cd).reshape(n, h, w, co)
+    return _down2x(out) if downsample else out
 
 
 # ---------------------------------------------------------------------------
@@ -341,32 +352,67 @@ def _gate_logits_of(w2, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref, act, slope):
     return l + b2_ref[:]
 
 
+def _pool_avg(t2_f32: jax.Array, width: int, dtype) -> jax.Array:
+    """In-VMEM 2x2 avg-pool of a fine f32 row-major tile before the HBM
+    write (the fused `downsample` tail: output traffic drops 4x and the
+    separate XLA pool pass disappears)."""
+    return (_pool2x(t2_f32, width) * 0.25).astype(dtype)
+
+
 def _kernel_conv_only(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                       bc_ref, skip_ref, o_ref, *, width, rows, act,
-                      leaky_slope, upsample=False):
+                      leaky_slope, upsample=False, downsample=False):
     w2, _ = _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                         bc_ref, skip_ref, width=width, rows=rows, act=act,
                         leaky_slope=leaky_slope, upsample=upsample)
-    o_ref[0] = w2
+    if downsample:
+        o_ref[0] = _pool_avg(w2.astype(jnp.float32), width, o_ref.dtype)
+    else:
+        o_ref[0] = w2
 
 
 def _kernel_sigmoid(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                     bc_ref, skip_ref, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref,
-                    o_ref, *, width, rows, act, leaky_slope, upsample=False):
+                    o_ref, *, width, rows, act, leaky_slope, upsample=False,
+                    downsample=False):
     w2, _ = _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                         bc_ref, skip_ref, width=width, rows=rows, act=act,
                         leaky_slope=leaky_slope, upsample=upsample)
     l = _gate_logits_of(w2, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref, act,
                         leaky_slope)
     g = jax.nn.sigmoid(l) * 2.0
-    o_ref[0] = (w2.astype(jnp.float32) * g).astype(o_ref.dtype)
+    gated = (w2.astype(jnp.float32) * g).astype(o_ref.dtype)
+    if downsample:
+        # pool the cd-cast gated values in f32 — bitwise the oracle's
+        # cast-then-_down2x order
+        o_ref[0] = _pool_avg(gated.astype(jnp.float32), width, o_ref.dtype)
+    else:
+        o_ref[0] = gated
+
+
+def _kernel_softmax_apply_pool(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                               m_ref, s_ref, o_ref, *, act, leaky_slope,
+                               hw_scale, width):
+    """fused_attention._softmax_apply_kernel + in-VMEM 2x2 avg-pool before
+    the write (the fused `downsample` tail for softmax mode); x tiles are
+    row-aligned (multiples of 2 image rows) so pooling stays tile-local."""
+    l = _gate_logits_of(x_ref[0], pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        act, leaky_slope)
+    g = jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale
+    gated = (x_ref[0].astype(jnp.float32) * g).astype(o_ref.dtype)
+    o_ref[0] = _pool_avg(gated.astype(jnp.float32), width, o_ref.dtype)
 
 
 def _kernel_softmax_stats(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                           bc_ref, skip_ref, pp_ref, w1_ref, b1_ref, w2g_ref,
                           b2_ref, w_out_ref, m_ref, s_ref, m_acc, s_acc,
-                          *, width, rows, act, leaky_slope, upsample=False):
-    """Conv pass fused with the flash-style gate-logit stats reduction."""
+                          *, width, rows, act, leaky_slope, upsample=False,
+                          downsample=False):
+    """Conv pass fused with the flash-style gate-logit stats reduction.
+    `downsample` is accepted for bind() uniformity but unused here: w_pre
+    must stay FINE (the apply pass recomputes the gate MLP from it);
+    pooling happens in _kernel_softmax_apply_pool."""
+    del downsample
     sidx = pl.program_id(1)
     w2, _ = _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                         bc_ref, skip_ref, width=width, rows=rows, act=act,
@@ -599,7 +645,7 @@ def _fold_groupnorm(x4, gn_scale, gn_bias, groups: int, eps: float):
 
 
 def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
-                          mode, interpret, upsample=False):
+                          mode, interpret, upsample=False, downsample=False):
     x4 = ops["x"]  # coarse (N, h/2, w/2, C) when upsample; (h, w) are FINE
     n, _, _, c = x4.shape
     cd = x4.dtype
@@ -630,10 +676,17 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
         hd = 0
 
     rows = _pick_rows(h, w, c, co, hd)
-    if upsample:
-        rows = max(rows, 2)  # a fine tile must cover whole coarse rows
+    if upsample or downsample:
+        rows = max(rows, 2)  # whole coarse rows / poolable row pairs
     s = h // rows
     tw = rows * w
+    tw_out = tw // 4 if downsample else tw
+    hw_out = (h * w) // 4 if downsample else h * w
+
+    def out4(y2):  # flat kernel output -> NHWC at the output resolution
+        if downsample:
+            return y2.reshape(n, h // 2, w // 2, co)
+        return y2.reshape(n, h, w, co)
 
     if upsample:
         # x/halo blocks index the COARSE array: fine tile i covers coarse
@@ -670,7 +723,7 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
         )
     ab_spec = pl.BlockSpec((1, 1, c), lambda ni, i: (ni, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, tw, co), lambda ni, i: (ni, i, 0),
+    out_spec = pl.BlockSpec((1, tw_out, co), lambda ni, i: (ni, i, 0),
                             memory_space=pltpu.VMEM)
 
     conv_specs = [x_spec, up_spec, dn_spec, ab_spec, ab_spec,
@@ -683,7 +736,8 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
 
     def bind(kern):
         fn = functools.partial(kern, width=w, rows=rows, act=act,
-                               leaky_slope=leaky_slope, upsample=upsample)
+                               leaky_slope=leaky_slope, upsample=upsample,
+                               downsample=downsample)
         if has_skip:
             return fn
         # arity without the skip ref
@@ -697,10 +751,10 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
             grid=(n, s),
             in_specs=conv_specs,
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((n, h * w, co), cd),
+            out_shape=jax.ShapeDtypeStruct((n, hw_out, co), cd),
             interpret=interpret,
         )(*conv_args)
-        return y2.reshape(n, h, w, co)
+        return out4(y2)
 
     pp_spec = pl.BlockSpec((tw, hd), lambda ni, i: (i, 0),
                            memory_space=pltpu.VMEM)
@@ -714,19 +768,21 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
             grid=(n, s),
             in_specs=conv_specs + gate_specs,
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((n, h * w, co), cd),
+            out_shape=jax.ShapeDtypeStruct((n, hw_out, co), cd),
             interpret=interpret,
         )(*conv_args, *gate_args)
-        return y2.reshape(n, h, w, co)
+        return out4(y2)
 
     assert mode == "softmax"
     stat_spec = pl.BlockSpec((1, 1, cout), lambda ni, i: (ni, 0, 0),
                              memory_space=pltpu.VMEM)
+    wpre_spec = pl.BlockSpec((1, tw, co), lambda ni, i: (ni, i, 0),
+                             memory_space=pltpu.VMEM)  # always FINE
     w_pre, m, se = pl.pallas_call(
         bind(_kernel_softmax_stats),
         grid=(n, s),
         in_specs=conv_specs + gate_specs,
-        out_specs=(out_spec, stat_spec, stat_spec),
+        out_specs=(wpre_spec, stat_spec, stat_spec),
         out_shape=(
             jax.ShapeDtypeStruct((n, h * w, co), cd),
             jax.ShapeDtypeStruct((n, 1, cout), jnp.float32),
@@ -740,7 +796,23 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
     )(*conv_args, *gate_args)
 
     # apply pass: recompute the cheap gate MLP from w_pre, apply the
-    # normalized gate (reuses the fused-attention apply kernel / tiling)
+    # normalized gate (reuses the fused-attention apply kernel / tiling);
+    # with `downsample` the pooled variant writes the coarse output
+    # directly (row-aligned tiles so the 2x2 pool stays tile-local)
+    if downsample:
+        y2 = pl.pallas_call(
+            functools.partial(_kernel_softmax_apply_pool, act=act,
+                              leaky_slope=leaky_slope, hw_scale=float(h * w),
+                              width=w),
+            grid=(n, s),
+            in_specs=[wpre_spec, pp_spec, _full_spec(w1c.shape),
+                      _full_spec((1, hd)), _full_spec(w2c.shape),
+                      _full_spec((1, cout)), stat_spec, stat_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n, hw_out, co), cd),
+            interpret=interpret,
+        )(w_pre, ppf, w1c, b1r, w2c, b2r, m, se)
+        return out4(y2)
     t = _pick_tile(h * w, co)
     s2 = (h * w) // t
     xa_spec = pl.BlockSpec((1, t, co), lambda ni, i: (ni, i, 0),
@@ -895,7 +967,7 @@ _CONV_KEYS = ("x", "gn_scale", "gn_bias", "w_row", "w_col", "b_col", "w_skip")
 
 @functools.lru_cache(maxsize=None)
 def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
-                     oracle_bwd=False, upsample=False):
+                     oracle_bwd=False, upsample=False, downsample=False):
     """custom_vjp op over a dict of operands: Pallas forward; hand-written
     Pallas backward (round 3) for leaky_relu/relu — gate backward via the
     fused-attention bwd kernels on the pre-gate output w (saved by the
@@ -905,7 +977,8 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
     back to jax.vjp of the exact XLA oracle. First-order only either way
     (grad-of-grad goes through the oracle twin, see train/step.py)."""
     kw = dict(h=h, w=w, groups=groups, eps=eps, act=act,
-              leaky_slope=leaky_slope, mode=mode, upsample=upsample)
+              leaky_slope=leaky_slope, mode=mode, upsample=upsample,
+              downsample=downsample)
     hand_written = (act in _PALLAS_BWD_ACTS) and not oracle_bwd
 
     # The backward chain is itself a custom_vjp op so grad-of-grad stays
@@ -918,6 +991,12 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
     def bwd_op(ops, gy):
         n = ops["x"].shape[0]
         co = ops["w_col"].shape[-1]
+        if downsample:
+            # vjp of the fused avg-pool tail: expand the coarse cotangent
+            # to fine with weight 1/4 (exactly _down2x's transpose) —
+            # same HBM traffic as the unfused pool's backward, so the
+            # forward-side saving is pure gain
+            gy = _up2x(gy.astype(jnp.float32) * 0.25).astype(gy.dtype)
         gy2 = gy.reshape(n, h * w, co)
         if mode is None:
             return _pallas_conv_backward(
@@ -1015,6 +1094,7 @@ def fused_stage(
     interpret: bool = False,
     oracle_bwd: bool = False,               # force the XLA-oracle backward
     upsample: bool = False,                 # x is COARSE; fuse nearest-2x in
+    downsample: bool = False,               # fuse a trailing 2x2 avg-pool
 ) -> jax.Array:
     """Fused pre-activation residual conv block with optional fused
     residual-form location attention. See module docstring.
@@ -1024,7 +1104,17 @@ def fused_stage(
     generator stage head in one pass: the 2x-expanded tensor (the largest
     in the network) never exists in HBM, norm/act/skip run at coarse
     resolution, and the backward pools gradients to coarse in-kernel.
-    `pos_proj` (and the output) are at the FINE resolution."""
+    `pos_proj` (and the output) are at the FINE resolution.
+
+    With `downsample` (the discriminator-stage mirror), the op ends in the
+    stage's 2x2 avg-pool, applied in VMEM before the output write: the
+    fine post-gate tensor never exists in HBM (output traffic drops 4x
+    and the separate pool pass disappears; the softmax pre-gate residual
+    w_pre stays fine, as its apply-pass recompute requires). The output is
+    (N, H/2, W/2, Co); the backward expands the coarse cotangent exactly
+    like the unfused pool's vjp, so no backward-side cost is added."""
+    if upsample and downsample:
+        raise ValueError("upsample and downsample are mutually exclusive")
     n, h, w_, c = x.shape
     if upsample:
         h, w_ = 2 * h, 2 * w_
@@ -1046,6 +1136,6 @@ def fused_stage(
         ops.update(pos_proj=pos_proj, w1x=w1x, b1=b1, w2=w2, b2=b2)
     core = _make_stage_core(
         h, w_, int(groups), float(eps), act, float(leaky_slope), mode,
-        bool(interpret), bool(oracle_bwd), bool(upsample),
+        bool(interpret), bool(oracle_bwd), bool(upsample), bool(downsample),
     )
     return core(ops)

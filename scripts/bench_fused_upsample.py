@@ -1,22 +1,27 @@
-"""Real-TPU spot check + fwd/bwd microbench of the UPSAMPLE-fused stage
-head (round 3): `fused_stage(upsample=True)` computes the generator's
+"""Real-TPU spot check + fwd/bwd microbench of the RESAMPLE-fused stage
+heads (round 3): `fused_stage(upsample=True)` computes the generator's
 `upsample_nearest(2) -> conv block [-> gate]` in one kernel — the
 2x-expanded tensor (the largest in the network) never exists in HBM, and
-norm/act/skip run at coarse resolution.
+norm/act/skip run at coarse resolution. `fused_stage(downsample=True)` is
+the discriminator mirror: the stage's trailing 2x2 avg-pool happens in
+VMEM before the output write.
 
-Three implementations per (shape, mode), chained value_and_grad like
-scripts/bench_fused_bwd.py:
+Implementations per (shape, mode), chained value_and_grad like
+scripts/bench_fused_bwd.py. Upsample group:
 
     up_fused — fused_stage(upsample=True) on the coarse tensor
     fused    — XLA nearest-2x, then fused_stage on the FINE tensor
                (the round-2 wiring this replaces at the >=512^2 tier)
     xla      — pure XLA composition (stage_oracle(upsample=True))
 
+Downsample group (--down): dn_fused / dn_fine (fused stage + XLA pool) /
+dn_xla, same pattern.
+
 Also asserts bf16 numerics vs the oracle on the real backend first (the
 CLAUDE.md real-TPU spot check; bf16-only bugs are invisible to the fp32
 interpret suite).
 
-    python scripts/bench_fused_upsample.py [iters]
+    python scripts/bench_fused_upsample.py [iters] [--down]
 """
 
 from __future__ import annotations
@@ -38,10 +43,10 @@ from locate_tpu.ops.pallas.fused_stage import (
 )
 
 
-def make_ops(key, n, res_fine, c, mode, dtype=jnp.bfloat16):
+def make_ops(key, n, res_fine, c, mode, dtype=jnp.bfloat16, coarse=True):
     ks = jax.random.split(key, 12)
     hd = max(8, c // 4)
-    rc = res_fine // 2
+    rc = res_fine // 2 if coarse else res_fine
     ops = dict(
         x=jax.random.normal(ks[0], (n, rc, rc, c), dtype),
         gn_scale=1.0 + 0.1 * jax.random.normal(ks[1], (c,), jnp.float32),
@@ -83,12 +88,33 @@ def stage_fn(impl, mode, res_fine):
                 o["x"], o["gn_scale"], o["gn_bias"], o["w_row"], o["w_col"],
                 o["b_col"], None, **gate_kw(o), upsample=True, **kw)
         return f
-    assert impl == "fused"  # XLA upsample feeding the fine fused stage
+    if impl == "fused":  # XLA upsample feeding the fine fused stage
+        def f(o):
+            return fused_stage(
+                _up2x(o["x"]), o["gn_scale"], o["gn_bias"], o["w_row"],
+                o["w_col"], o["b_col"], None, **gate_kw(o), **kw)
+        return f
+    if impl == "dn_xla":
+        def f(o):
+            return stage_oracle(o, h=res_fine, w=res_fine, groups=8,
+                                eps=1e-5, act="leaky_relu", leaky_slope=0.2,
+                                mode=mode, downsample=True)
+        return f
+    if impl == "dn_fused":
+        def f(o):
+            return fused_stage(
+                o["x"], o["gn_scale"], o["gn_bias"], o["w_row"], o["w_col"],
+                o["b_col"], None, **gate_kw(o), downsample=True, **kw)
+        return f
+    assert impl == "dn_fine"  # fine fused stage + XLA avg-pool (old wiring)
 
     def f(o):
-        return fused_stage(
-            _up2x(o["x"]), o["gn_scale"], o["gn_bias"], o["w_row"],
-            o["w_col"], o["b_col"], None, **gate_kw(o), **kw)
+        y = fused_stage(
+            o["x"], o["gn_scale"], o["gn_bias"], o["w_row"], o["w_col"],
+            o["b_col"], None, **gate_kw(o), **kw)
+        n_, hh, ww, cc = y.shape
+        p = y.reshape(n_, hh // 2, 2, ww // 2, 2, cc)
+        return p.mean(axis=(2, 4))
     return f
 
 
@@ -115,12 +141,14 @@ def timed_grad(fn, ops, iters):
     return best
 
 
-def spot_check():
+def spot_check(down=False):
     """bf16 fused vs oracle on the real backend, fwd + grad-wrt-x."""
+    fi, oi = ("dn_fused", "dn_xla") if down else ("up_fused", "xla")
     for mode in ("softmax", "sigmoid", None):
-        ops = make_ops(jax.random.PRNGKey(7), 1, 64, 64, mode)
-        f = stage_fn("up_fused", mode, 64)
-        o = stage_fn("xla", mode, 64)
+        ops = make_ops(jax.random.PRNGKey(7), 1, 64, 64, mode,
+                       coarse=not down)
+        f = stage_fn(fi, mode, 64)
+        o = stage_fn(oi, mode, 64)
         got, want = np.asarray(f(ops), np.float32), np.asarray(
             o(ops), np.float32)
         scale = max(1e-3, float(np.abs(want).max()))
@@ -130,35 +158,41 @@ def spot_check():
         gerr = float(np.abs(np.asarray(gf["x"], np.float32)
                             - np.asarray(go["x"], np.float32)).max()) / max(
             1e-3, float(np.abs(np.asarray(go["x"], np.float32)).max()))
-        print(json.dumps({"spot_check": mode or "conv_only",
+        print(json.dumps({"spot_check": ("down_" if down else "up_")
+                          + (mode or "conv_only"),
                           "rel_err_fwd": round(err, 5),
                           "rel_err_dx": round(gerr, 5)}), flush=True)
         assert err < 0.05 and gerr < 0.05, (mode, err, gerr)
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 12
+    down = "--down" in sys.argv
     print(json.dumps({"device": jax.devices()[0].device_kind,
-                      "iters": iters}), flush=True)
-    spot_check()
+                      "iters": iters, "group": "down" if down else "up"}),
+          flush=True)
+    spot_check(down)
+    impls = ("dn_fused", "dn_fine", "dn_xla") if down else \
+        ("up_fused", "fused", "xla")
     # the ffhq_512 top stage exactly: coarse 256^2 x 64ch -> fine 512^2
     shapes = [(2, 512, 64), (4, 512, 64), (8, 256, 128)]
     for n, res, c in shapes:
         for mode in ("softmax", None):
-            ops = make_ops(jax.random.PRNGKey(0), n, res, c, mode)
+            ops = make_ops(jax.random.PRNGKey(0), n, res, c, mode,
+                           coarse=not down)
             row = {"mode": mode or "conv_only", "shape": f"{n}x{res}^2x{c}"}
-            for impl in ("up_fused", "fused", "xla"):
+            for impl in impls:
                 try:
                     t = timed_grad(stage_fn(impl, mode, res), ops, iters)
                     row[impl + "_ms"] = round(t * 1e3, 3)
                 except Exception as e:
                     row[impl + "_err"] = repr(e)[:160]
-            if "up_fused_ms" in row and "xla_ms" in row:
-                row["speedup_vs_xla"] = round(
-                    row["xla_ms"] / row["up_fused_ms"], 3)
-            if "up_fused_ms" in row and "fused_ms" in row:
-                row["speedup_vs_fine_fused"] = round(
-                    row["fused_ms"] / row["up_fused_ms"], 3)
+            fu, fi, xl = (i + "_ms" for i in impls)
+            if fu in row and xl in row:
+                row["speedup_vs_xla"] = round(row[xl] / row[fu], 3)
+            if fu in row and fi in row:
+                row["speedup_vs_fine_fused"] = round(row[fi] / row[fu], 3)
             print(json.dumps(row), flush=True)
 
 

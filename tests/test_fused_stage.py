@@ -369,6 +369,49 @@ def test_fused_stage_conv_only_mode():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_stage_downsample_conv_only():
+    """fused_stage(downsample=True, mode=None): the discriminator-stage
+    tail for a bare conv block — 2x2 avg-pool fused into the output
+    write — fwd + grads vs the oracle."""
+    from locate_tpu.ops.pallas.fused_stage import fused_stage, stage_oracle
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    n, res, c, co = 2, 16, 16, 32
+    x = jax.random.normal(ks[0], (n, res, res, c), jnp.float32)
+    ops = dict(
+        x=x,
+        gn_scale=1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+        gn_bias=0.1 * jax.random.normal(ks[2], (c,)),
+        w_row=0.1 * jax.random.normal(ks[3], (1, 3, c, co)),
+        w_col=0.1 * jax.random.normal(ks[4], (3, 1, co, co)),
+        b_col=0.1 * jax.random.normal(ks[5], (co,)),
+        w_skip=0.1 * jax.random.normal(ks[6], (1, 1, c, co)),
+    )
+
+    def fused_fn(o):
+        return fused_stage(o["x"], o["gn_scale"], o["gn_bias"], o["w_row"],
+                           o["w_col"], o["b_col"], o["w_skip"], groups=4,
+                           mode=None, interpret=True, downsample=True)
+
+    def oracle_fn(o):
+        return stage_oracle(o, h=res, w=res, groups=4, eps=1e-5,
+                            act="leaky_relu", leaky_slope=0.2, mode=None,
+                            downsample=True)
+
+    got, want = fused_fn(ops), oracle_fn(ops)
+    assert got.shape == (n, res // 2, res // 2, co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def run(fn):
+        return jax.grad(lambda o: jnp.sum(jnp.sin(fn(o))))(ops)
+
+    gf, go = run(fused_fn), run(oracle_fn)
+    for k in ops:
+        np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(go[k]),
+                                   rtol=5e-5, atol=5e-5, err_msg=k)
+
+
 def test_pytree_structure_unchanged():
     """use_pallas flips apply paths only — init structure is identical
     (checkpoints and the R1 twin depend on this)."""
