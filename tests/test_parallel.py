@@ -68,6 +68,65 @@ def test_dp_matches_single_device(tiny_config):
             np.testing.assert_allclose(h1[k], h8[k], rtol=5e-4, atol=5e-4, err_msg=k)
 
 
+def test_ffhq256_preset_config_dp_matches_single_device():
+    """BASELINE config 4's PRESET (ffhq_256: class-conditional GAN, DP
+    over ICI) run at tiny spatial shapes over the 8-fake-device mesh ==
+    single device (VERDICT r2 task 3's multi-chip side). Keeps the
+    preset's structural features — class conditioning (num_classes=10,
+    G class-embed + D projection head), EMA, its optimizer chain — and
+    shrinks only resolution/width/batch. r1_gamma=0 keeps the CPU
+    grad-of-grad compile out (R1-on DP equality is pinned separately by
+    test_r1_pallas on the tiny config)."""
+    from locate_tpu.config import get_config
+
+    cfg = get_config("ffhq_256", {
+        "model.resolution": "16",
+        "model.base_channels": "32",
+        "model.max_channels": "32",
+        "model.min_channels": "16",
+        "model.latent_dim": "16",
+        "data.resolution": "16",
+        "data.dataset": "synthetic",
+        "train.global_batch": "16",
+        "train.compute_dtype": "float32",
+        "train.r1_gamma": "0.0",
+        "train.log_every": "2",
+        "train.sample_every": "0",
+        "train.checkpoint_every": "0",
+    })
+    assert cfg.model.num_classes == 10  # the preset's conditioning survives
+
+    def batch(key):
+        img = jax.random.uniform(
+            key, (cfg.train.global_batch, 16, 16, 3), minval=-1.0, maxval=1.0)
+        lab = jax.random.randint(
+            jax.random.PRNGKey(9), (cfg.train.global_batch,), 0, 10)
+        return {"image": img, "label": lab}
+
+    def run(mesh):
+        gan = build_gan(cfg)
+        with mesh:
+            state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+            jit_step_for, shardings_for, b_shard = make_sharded_train_step(
+                cfg, gan, mesh)
+            state = place_train_state(state, shardings_for(state))
+            step = jit_step_for(state)
+            b = jax.device_put(batch(jax.random.PRNGKey(1)),
+                               {"image": b_shard, "label": b_shard})
+            hist = []
+            for _ in range(2):
+                state, metrics = step(state, b)
+                hist.append({k: float(v) for k, v in metrics.items()})
+        return hist
+
+    h1 = run(single_device_mesh(cfg.parallel))
+    h8 = run(make_mesh(cfg.parallel))
+    for a, b_ in zip(h1, h8):
+        for k in a:
+            np.testing.assert_allclose(a[k], b_[k], rtol=5e-4, atol=5e-4,
+                                       err_msg=k)
+
+
 def test_dp_state_replicated(tiny_config):
     """After a DP step params must be fully replicated (same value on every
     device)."""
