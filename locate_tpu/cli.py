@@ -280,6 +280,24 @@ def cmd_pack(argv: List[str]) -> int:
     return 0
 
 
+def cmd_lsun_export(argv: List[str]) -> int:
+    """Export an LSUN LMDB archive to an image folder
+    (`lsun-export <lmdb_dir> <out_dir> [--limit N]`); the folder then
+    feeds `train data.dataset=folder` or the `pack` CLI. Needs the
+    `lmdb` package (gated import — see data/lsun.py)."""
+    from locate_tpu.data.lsun import lsun_to_folder
+
+    if len(argv) < 2:
+        print("usage: lsun-export <lmdb_dir> <out_dir> [--limit N]")
+        return 1
+    flags, _ = _split_args(argv[2:])
+    limit = flags.get("limit")
+    n = lsun_to_folder(argv[0], argv[1],
+                       limit=int(limit) if limit else None, progress=True)
+    print(f"[locate-tpu] exported {n} LSUN records to {argv[1]}")
+    return 0
+
+
 def cmd_bench_input(argv: List[str]) -> int:
     """Host input-pipeline throughput (images/sec, no device): measures
     the producer thread incl. native decode (SURVEY.md hard part #4 —
@@ -417,6 +435,7 @@ COMMANDS = {
     "eval": cmd_eval,
     "export": cmd_export,
     "pack": cmd_pack,
+    "lsun-export": cmd_lsun_export,
     "bench": cmd_bench,
     "bench-input": cmd_bench_input,
     "bench-sample": cmd_bench_sample,

@@ -146,3 +146,58 @@ def test_pipeline_steps_per_call_stacking_order():
             ref = flat[ci * 2 + j]
             np.testing.assert_array_equal(img[j], np.asarray(ref["image"]))
             np.testing.assert_array_equal(lab[j], np.asarray(ref["label"]))
+
+
+# ---------------------------------------------------------------------------
+# LSUN LMDB export (data/lsun.py) — the lmdb package is absent here, so the
+# reader is exercised through the injectable iterator and the gated error
+# ---------------------------------------------------------------------------
+
+
+def _fake_lsun_records():
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (200, 10, 10)).save(buf, format="JPEG")
+    jpg = buf.getvalue()
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (10, 200, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    return [(b"\x01\xffhashkey", jpg), (b"plainkey", png)]
+
+
+def test_lsun_export_to_folder_and_train_path(tmp_path):
+    """Exported files carry container-sniffed extensions, binary keys hex-
+    encode, re-runs are idempotent, and the result feeds ImageFolder."""
+    from locate_tpu.data.lsun import lsun_to_folder, sniff_extension
+
+    recs = _fake_lsun_records()
+    assert sniff_extension(recs[0][1]) == "jpg"
+    assert sniff_extension(recs[1][1]) == "png"
+    assert sniff_extension(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    assert sniff_extension(b"garbage") == "bin"
+
+    out = str(tmp_path / "lsun")
+    n = lsun_to_folder("unused", out, _iter=lambda p: iter(recs))
+    assert n == 2
+    import os
+
+    names = sorted(os.listdir(out))
+    assert names == ["01ff686173686b6579.jpg", "plainkey.png"]
+    # idempotent resume: same names, no .tmp litter
+    n2 = lsun_to_folder("unused", out, _iter=lambda p: iter(recs))
+    assert n2 == 2 and sorted(os.listdir(out)) == names
+
+    ds = ImageFolder(out, resolution=8)
+    assert len(ds) == 2
+    img, _ = ds.example(0)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+def test_lsun_reader_gated_without_lmdb():
+    """Without the lmdb package the reader raises actionable guidance."""
+    from locate_tpu.data.lsun import iter_lmdb
+
+    with pytest.raises((RuntimeError, Exception)) as e:
+        next(iter_lmdb("/nonexistent"))
+    assert "lmdb" in str(e.value).lower()
