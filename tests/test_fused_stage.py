@@ -412,6 +412,51 @@ def test_fused_stage_downsample_conv_only():
                                    rtol=5e-5, atol=5e-5, err_msg=k)
 
 
+@pytest.mark.parametrize("resample", ["upsample", "downsample"])
+def test_fused_stage_resample_bf16_interpret(resample):
+    """The resample paths run their expand/pool in f32 with casts placed
+    to match the oracle bitwise (Mosaic cannot sublane-reshape bf16) —
+    run the bf16 dtype through interpret mode to pin the cast placement
+    logic; the real-backend Mosaic check lives in
+    scripts/bench_fused_upsample.py."""
+    from locate_tpu.ops.pallas.fused_stage import fused_stage, stage_oracle
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    up = resample == "upsample"
+    c = 32
+    hin = 8 if up else 16
+    h = 16  # oracle's fine dims
+    x = jax.random.normal(ks[0], (2, hin, hin, c), jnp.float32).astype(
+        jnp.bfloat16)
+    ops = dict(
+        x=x,
+        gn_scale=1.0 + 0.1 * jax.random.normal(ks[1], (c,)),
+        gn_bias=0.1 * jax.random.normal(ks[2], (c,)),
+        w_row=0.1 * jax.random.normal(ks[3], (1, 3, c, c)),
+        w_col=0.1 * jax.random.normal(ks[4], (3, 1, c, c)),
+        b_col=0.1 * jax.random.normal(ks[5], (c,)),
+        pos_proj=0.1 * jax.random.normal(ks[6], (h * h, 8)),
+        w1x=0.1 * jax.random.normal(ks[7], (c, 8)),
+        b1=jnp.zeros((8,)),
+        w2=0.05 * jax.random.normal(ks[0], (8, c)),
+        b2=jnp.zeros((c,)),
+    )
+    kw = dict(groups=4, act="leaky_relu", mode="softmax", interpret=True,
+              upsample=up, downsample=not up)
+    got = fused_stage(ops["x"], ops["gn_scale"], ops["gn_bias"],
+                      ops["w_row"], ops["w_col"], ops["b_col"], None,
+                      pos_proj=ops["pos_proj"], w1x=ops["w1x"], b1=ops["b1"],
+                      w2=ops["w2"], b2=ops["b2"], **kw)
+    want = stage_oracle(ops, h=h, w=h, groups=4, eps=1e-5, act="leaky_relu",
+                        leaky_slope=0.2, mode="softmax", upsample=up,
+                        downsample=not up)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
 def test_pytree_structure_unchanged():
     """use_pallas flips apply paths only — init structure is identical
     (checkpoints and the R1 twin depend on this)."""
