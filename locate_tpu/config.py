@@ -308,6 +308,27 @@ class ParallelConfig:
     # collectives — default) or "shard_map" (explicit per-replica psum;
     # DP-only).
     backend: str = "gspmd"
+    # ZeRO-style state sharding over the `data` axis (gspmd backend only).
+    #   0 — params + optimizer state fully replicated over `data` (default)
+    #   1 — shard Adam mu/nu and the EMA shadow over `data` (ZeRO-1: the
+    #       partitioner turns the grad all-reduce into reduce-scatter +
+    #       sharded update + param all-gather)
+    #   3 — also shard the params themselves over `data` (FSDP/ZeRO-3:
+    #       all-gather at use inside fwd/bwd, nothing replicated)
+    # Pure memory/layout change: trajectories are identical to stage 0
+    # (pinned by tests/test_parallel.py::test_zero*_matches_replicated).
+    zero_stage: int = 0
+
+    def __post_init__(self):
+        if self.zero_stage not in (0, 1, 3):
+            raise ValueError(
+                f"parallel.zero_stage={self.zero_stage}; expected 0, 1, or 3")
+        if self.zero_stage > 0 and self.backend != "gspmd":
+            raise ValueError(
+                "parallel.zero_stage > 0 requires backend='gspmd' (the "
+                "shard_map step is written with replicated per-replica "
+                "state; ZeRO relies on GSPMD inferring reduce-scatter/"
+                "all-gather from the state layout)")
 
 
 @dataclasses.dataclass(frozen=True)

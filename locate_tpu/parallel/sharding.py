@@ -60,14 +60,72 @@ def param_shardings(params: Any, mesh: Mesh, model_axis: str = "model",
     )
 
 
-def state_shardings(state_shape: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+def _zero_leaf_spec(leaf, mesh: Mesh, data_axis: str, model_axis: str,
+                    min_shard: int) -> P:
+    """ZeRO leaf rule: start from the TP spec (trailing channel dim over
+    `model` when eligible), then additionally shard the largest remaining
+    dim over `data`. Scalars and indivisible leaves stay replicated, so the
+    rule is safe to apply to any optimizer-state pytree (counters, MultiSteps
+    accumulators, apply_if_finite flags all fall through to P())."""
+    base = _leaf_spec(leaf, mesh, model_axis, min_shard)
+    dp = mesh.shape[data_axis]
+    shape = getattr(leaf, "shape", ())
+    if dp <= 1 or not shape:
+        return base
+    spec = list(base) + [None] * (len(shape) - len(base))
+    best = -1
+    for i, size in enumerate(shape):
+        if spec[i] is None and size % dp == 0 and size >= 2 * dp:
+            if best < 0 or size >= shape[best]:
+                best = i  # ties prefer the later (channel) dim
+    if best < 0:
+        return base
+    spec[best] = data_axis
+    return P(*spec)
+
+
+def zero_shardings(tree: Any, mesh: Mesh, data_axis: str = "data",
+                   model_axis: str = "model", min_shard: int = 128) -> Any:
+    """Sharding pytree for a ZeRO-sharded subtree (optimizer state, EMA
+    shadow, or — at stage 3 — the params themselves)."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(
+            mesh, _zero_leaf_spec(leaf, mesh, data_axis, model_axis, min_shard)
+        ),
+        tree,
+    )
+
+
+def state_shardings(state_shape: Any, mesh: Mesh, model_axis: str = "model",
+                    data_axis: str = "data", zero_stage: int = 0) -> Any:
     """Sharding tree for a TrainState (built from `jax.eval_shape` output or
     a concrete state). Uniform shape-based rule, so Adam mu/nu and the EMA
-    shadow automatically match their parameters' layout."""
-    return jax.tree.map(
+    shadow automatically match their parameters' layout.
+
+    zero_stage (ParallelConfig.zero_stage): 0 = replicated over `data`;
+    1 = optimizer state + EMA shadow sharded over `data` (GSPMD then lowers
+    the grad all-reduce to reduce-scatter + sharded Adam update + param
+    all-gather — ZeRO-1); 3 = params sharded too (FSDP: all-gather at use).
+    A layout change only — the global program, and hence the trajectory, is
+    identical (tests/test_parallel.py::test_zero*_matches_replicated)."""
+    base = jax.tree.map(
         lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, mesh, model_axis, 128)),
         state_shape,
     )
+    if zero_stage <= 0:
+        return base
+    def z(tree):
+        return zero_shardings(tree, mesh, data_axis, model_axis)
+    repl = {
+        "g_opt_state": z(state_shape.g_opt_state),
+        "d_opt_state": z(state_shape.d_opt_state),
+    }
+    if state_shape.ema_params is not None:
+        repl["ema_params"] = z(state_shape.ema_params)
+    if zero_stage >= 3:
+        repl["g_params"] = z(state_shape.g_params)
+        repl["d_params"] = z(state_shape.d_params)
+    return base.replace(**repl)
 
 
 def place_train_state(state: TrainState, shardings: Any) -> TrainState:
@@ -180,7 +238,9 @@ def make_sharded_train_step(
     rep = replicated(mesh)
 
     def shardings_for(state: TrainState) -> Any:
-        return state_shardings(state, mesh, pcfg.model_axis)
+        return state_shardings(
+            state, mesh, pcfg.model_axis, pcfg.data_axis, pcfg.zero_stage
+        )
 
     def jit_step(state: TrainState):
         s_shardings = shardings_for(state)

@@ -347,3 +347,83 @@ def test_param_sharding_rule():
     assert specs["conv_w"].spec == jax.sharding.PartitionSpec(None, None, None, "model")
     assert specs["bias"].spec == jax.sharding.PartitionSpec()
     assert specs["small"].spec == jax.sharding.PartitionSpec()
+
+
+# ---------------------------------------------------------------------------
+# ZeRO / FSDP state sharding (parallel.zero_stage)
+
+
+def _zero_cfg(tiny_config, stage):
+    return dataclasses.replace(
+        tiny_config, parallel=ParallelConfig(zero_stage=stage)
+    )
+
+
+@pytest.mark.parametrize("stage", [1, 3])
+def test_zero_matches_replicated(tiny_config, stage):
+    """ZeRO is a LAYOUT change, not a program change: the stage-1 (sharded
+    Adam mu/nu + EMA shadow) and stage-3 (sharded params too) trajectories
+    on the 8-device mesh must match the replicated stage-0 run."""
+    _, hist0 = run_steps(_zero_cfg(tiny_config, 0),
+                         make_mesh(ParallelConfig()), n_steps=2)
+    cfg = _zero_cfg(tiny_config, stage)
+    _, histz = run_steps(cfg, make_mesh(cfg.parallel), n_steps=2)
+    for h0, hz in zip(hist0, histz):
+        for k in h0:
+            np.testing.assert_allclose(h0[k], hz[k], rtol=5e-4, atol=5e-4,
+                                       err_msg=f"stage={stage} {k}")
+
+
+def test_zero1_shards_opt_state_not_params(tiny_config):
+    """Stage 1: Adam mu/nu and the EMA shadow live sharded over `data`
+    (per-device shard = 1/8 of the leaf), params stay replicated."""
+    cfg = _zero_cfg(tiny_config, 1)
+    state, _ = run_steps(cfg, make_mesh(cfg.parallel), n_steps=1)
+
+    def data_sharded_bytes(tree):
+        tot = shard = 0
+        for leaf in jax.tree.leaves(tree):
+            tot += leaf.size
+            if "data" in tuple(leaf.sharding.spec):
+                shard += leaf.size
+                assert leaf.addressable_shards[0].data.size == leaf.size // 8
+        return shard, tot
+
+    s, t = data_sharded_bytes(state.g_opt_state)
+    assert s / t > 0.9, f"only {s}/{t} opt-state elements data-sharded"
+    s, t = data_sharded_bytes(state.ema_params)
+    assert s / t > 0.9
+    p, pt = data_sharded_bytes(state.g_params)
+    assert p == 0, "stage 1 must not shard params"
+
+
+def test_zero3_shards_params(tiny_config):
+    cfg = _zero_cfg(tiny_config, 3)
+    state, _ = run_steps(cfg, make_mesh(cfg.parallel), n_steps=1)
+    sharded = sum(
+        leaf.size
+        for leaf in jax.tree.leaves(state.g_params)
+        if "data" in tuple(leaf.sharding.spec)
+    )
+    total = sum(leaf.size for leaf in jax.tree.leaves(state.g_params))
+    assert sharded / total > 0.9, f"only {sharded}/{total} param elements sharded"
+
+
+def test_zero_composes_with_tp(tiny_config):
+    """4x2 DP x TP with stage-1 ZeRO: model-axis channel sharding and
+    data-axis state sharding coexist on the same leaves."""
+    cfg = dataclasses.replace(
+        tiny_config,
+        parallel=ParallelConfig(data_parallel=4, model_parallel=2, zero_stage=1),
+    )
+    _, hist = run_steps(cfg, make_mesh(cfg.parallel), n_steps=2)
+    assert all(np.isfinite(list(h.values())).all() for h in hist)
+    _, hist1 = run_steps(cfg, single_device_mesh(cfg.parallel), n_steps=2)
+    np.testing.assert_allclose(hist1[0]["d_loss"], hist[0]["d_loss"], rtol=1e-4)
+
+
+def test_zero_rejects_shard_map():
+    with pytest.raises(ValueError, match="zero_stage"):
+        ParallelConfig(backend="shard_map", zero_stage=1)
+    with pytest.raises(ValueError, match="zero_stage"):
+        ParallelConfig(zero_stage=2)
