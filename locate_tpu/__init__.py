@@ -44,7 +44,7 @@ from locate_tpu.train.step import make_train_step
 from locate_tpu.train.loop import train
 from locate_tpu.io.checkpoint import CheckpointManager
 from locate_tpu.io.export import export_generator, load_generator
-from locate_tpu.io.fid import evaluate_generator, frechet_distance, kid
+from locate_tpu.io.fid import evaluate_generator, frechet_distance, kid, prdc
 from locate_tpu.io.sampling import (
     generate_samples,
     interpolation_grid,
@@ -67,6 +67,6 @@ __all__ = [
     "TrainState", "create_train_state", "make_train_step", "train",
     "CheckpointManager", "generate_samples", "save_image_grid",
     "export_generator", "load_generator",
-    "evaluate_generator", "frechet_distance", "kid",
+    "evaluate_generator", "frechet_distance", "kid", "prdc",
     "interpolation_grid", "slerp", "make_mesh", "make_step_for",
 ]

@@ -180,6 +180,10 @@ def cmd_eval(argv: List[str]) -> int:
       --features-out=PATH.npz  write raw feature matrices
                              (fake_features [+ real_features]) for
                              external FID/KID/PR computation.
+      --prdc-k=K             also report precision/recall/density/coverage
+                             (kNN manifold metrics, arXiv 1904.06991 /
+                             2002.09797) at kNN size K (e.g. 5). Needs the
+                             dataset (not available with --ref-stats).
     """
     import json
 
@@ -230,6 +234,10 @@ def cmd_eval(argv: List[str]) -> int:
         extractor=extractor,
         ref_stats=load_stats(ref_stats_path) if ref_stats_path else None,
         out=arrays if (stats_out or real_stats_out or features_out) else None,
+        prdc_k=(
+            int(_str_flag(flags, "prdc-k")) if _str_flag(flags, "prdc-k")
+            else None
+        ),
     )
     if stats_out:
         save_stats(stats_out, arrays["fake_mu"], arrays["fake_sigma"],

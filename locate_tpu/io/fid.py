@@ -122,6 +122,59 @@ def kid(features_a: np.ndarray, features_b: np.ndarray, subset_size: int = 512,
     return float(np.mean(vals))
 
 
+def _pairwise_dist(a: np.ndarray, b: np.ndarray, batch: int = 4096) -> np.ndarray:
+    """Euclidean distance matrix [len(a), len(b)] in float64, row-batched so
+    eval-sized sets (tens of k) never materialize more than batch*len(b)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    bb = (b * b).sum(1)
+    rows = []
+    for i in range(0, len(a), batch):
+        ai = a[i : i + batch]
+        sq = (ai * ai).sum(1)[:, None] + bb[None, :] - 2.0 * ai @ b.T
+        rows.append(np.sqrt(np.maximum(sq, 0.0)))
+    return np.concatenate(rows, axis=0)
+
+
+def _knn_radius(x: np.ndarray, k: int) -> np.ndarray:
+    """Distance from each point to its k-th nearest OTHER point in x."""
+    d = _pairwise_dist(x, x)
+    np.fill_diagonal(d, np.inf)
+    return np.partition(d, k - 1, axis=1)[:, k - 1]
+
+
+def prdc(real_features: np.ndarray, fake_features: np.ndarray,
+         k: int = 5) -> dict:
+    """Improved precision/recall (Kynkaanniemi et al., arXiv 1904.06991)
+    and density/coverage (Naeem et al., arXiv 2002.09797) from kNN
+    manifold estimates — the standard fidelity-vs-diversity split that a
+    single FID number hides:
+
+      precision — fraction of fakes inside the real manifold (fidelity)
+      recall    — fraction of reals inside the fake manifold (diversity)
+      density   — precision's count-based, outlier-robust refinement
+      coverage  — fraction of reals with a fake within their kNN ball
+
+    Pure numpy on feature matrices [N, D]; pairs with any extractor in
+    this module (RandomConvFeatures for rP/rR, NpzFeatureExtractor for
+    the Inception feature space)."""
+    real = np.asarray(real_features, np.float64)
+    fake = np.asarray(fake_features, np.float64)
+    if min(len(real), len(fake)) <= k:
+        raise ValueError(f"prdc needs > k={k} samples per side, got "
+                         f"{len(real)} real / {len(fake)} fake")
+    r_real = _knn_radius(real, k)   # [Nr]
+    r_fake = _knn_radius(fake, k)   # [Nf]
+    d_rf = _pairwise_dist(real, fake)  # [Nr, Nf]
+    in_real = d_rf <= r_real[:, None]  # fake j inside real i's ball
+    return {
+        "precision": float(in_real.any(axis=0).mean()),
+        "recall": float((d_rf <= r_fake[None, :]).any(axis=1).mean()),
+        "density": float(in_real.sum(axis=0).mean() / k),
+        "coverage": float((d_rf.min(axis=1) <= r_real).mean()),
+    }
+
+
 # ---------------------------------------------------------------------------
 # feature extractors
 # ---------------------------------------------------------------------------
@@ -259,6 +312,7 @@ def evaluate_generator(
     cache: Optional[dict] = None,
     ref_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     out: Optional[dict] = None,
+    prdc_k: Optional[int] = None,
 ) -> dict:
     """Generate n_samples, extract features for both generated and real
     examples, return {"fid": ..., "kid": ...} (rFID/rKID with the default
@@ -276,7 +330,11 @@ def evaluate_generator(
 
     `out` (a dict, mutated) receives the raw arrays for export:
     `fake_features`, `fake_mu`, `fake_sigma`, and — when the real side is
-    computed — `real_features`, `real_mu`, `real_sigma`."""
+    computed — `real_features`, `real_mu`, `real_sigma`.
+
+    `prdc_k` adds precision/recall/density/coverage (see `prdc`) at that
+    kNN size; needs per-sample real features, so it is unavailable (and
+    rejected) in ref_stats mode."""
     from locate_tpu.io.sampling import generate_samples
 
     extractor = extractor or RandomConvFeatures()
@@ -293,6 +351,12 @@ def evaluate_generator(
         out.update(fake_features=fake, fake_mu=mu_f, fake_sigma=s_f)
 
     if ref_stats is not None:
+        if prdc_k is not None:
+            raise ValueError(
+                "prdc needs per-sample real features; ref_stats mode only "
+                "has (mu, sigma) — pass a dataset (or precomputed features) "
+                "instead"
+            )
         mu_r, s_r = ref_stats
         return {
             "fid": frechet_distance(mu_f, s_f, mu_r, s_r),
@@ -321,9 +385,12 @@ def evaluate_generator(
     mu_r, s_r = feature_stats(real)
     if out is not None:
         out.update(real_features=real, real_mu=mu_r, real_sigma=s_r)
-    return {
+    result = {
         "fid": frechet_distance(mu_f, s_f, mu_r, s_r),
         "kid": kid(fake, real),
         "n_fake": len(fake),
         "n_real": len(real),
     }
+    if prdc_k is not None:
+        result.update(prdc(real, fake, k=prdc_k))
+    return result

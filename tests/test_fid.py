@@ -150,3 +150,103 @@ def test_evaluate_generator_ref_stats(tiny_config, tmp_path):
     with pytest.raises(ValueError, match="dataset or ref_stats"):
         evaluate_generator(gan, params["generator"], None,
                            n_samples=8, batch=8, extractor=ex)
+
+
+# ---------------------------------------------------------------------------
+# precision / recall / density / coverage (kNN manifold metrics)
+
+
+def test_prdc_identical_sets():
+    """Same set on both sides: every fake IS a real point, so precision,
+    recall, and coverage are exactly 1; density is around 1."""
+    from locate_tpu.io.fid import prdc
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(128, 8))
+    r = prdc(x, x.copy(), k=5)
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+    assert r["coverage"] == 1.0
+    assert 0.5 < r["density"]
+
+
+def test_prdc_disjoint_far_clusters():
+    """Fakes far outside the real manifold: everything collapses to 0."""
+    from locate_tpu.io.fid import prdc
+
+    rng = np.random.default_rng(1)
+    real = rng.normal(size=(96, 8))
+    fake = rng.normal(size=(96, 8)) + 1000.0
+    r = prdc(real, fake, k=5)
+    assert r == {"precision": 0.0, "recall": 0.0, "density": 0.0,
+                 "coverage": 0.0}
+
+
+def test_prdc_mode_collapse_signature():
+    """Mode collapse (all fakes near ONE real point): precision stays high
+    (fakes are on-manifold) while recall/coverage crater — the split FID
+    can't see. Also: k >= n rejected."""
+    from locate_tpu.io.fid import prdc
+
+    rng = np.random.default_rng(2)
+    real = rng.normal(size=(128, 8)) * 5.0
+    fake = real[0] + rng.normal(size=(128, 8)) * 1e-3
+    r = prdc(real, fake, k=5)
+    assert r["precision"] > 0.9
+    assert r["recall"] < 0.2 and r["coverage"] < 0.2
+    with pytest.raises(ValueError, match="prdc needs"):
+        prdc(real[:4], fake[:4], k=5)
+
+
+def test_prdc_matches_bruteforce_reference():
+    """Batched-distance implementation == a direct O(N^2) transcription of
+    the paper definitions on a small random instance."""
+    from locate_tpu.io.fid import prdc
+
+    rng = np.random.default_rng(3)
+    real = rng.normal(size=(40, 4))
+    fake = rng.normal(size=(50, 4), loc=0.3)
+    k = 3
+
+    def radii(x):
+        d = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1))
+        np.fill_diagonal(d, np.inf)
+        return np.sort(d, axis=1)[:, k - 1]
+
+    rr, rf = radii(real), radii(fake)
+    d = np.sqrt(((real[:, None, :] - fake[None, :, :]) ** 2).sum(-1))
+    expect = {
+        "precision": (d <= rr[:, None]).any(0).mean(),
+        "recall": (d <= rf[None, :]).any(1).mean(),
+        "density": (d <= rr[:, None]).sum(0).mean() / k,
+        "coverage": (d.min(1) <= rr).mean(),
+    }
+    got = prdc(real, fake, k=k)
+    for key, val in expect.items():
+        np.testing.assert_allclose(got[key], val, rtol=1e-12, err_msg=key)
+
+
+def test_evaluate_generator_prdc(tiny_config):
+    from locate_tpu.io.fid import prdc  # noqa: F401  (import check)
+    from locate_tpu.models.gan import build_gan
+
+    cfg = tiny_config
+    gan = build_gan(cfg)
+    params = gan.init(jax.random.PRNGKey(0))
+    ds = SyntheticImages(cfg.model.resolution, 3, length=64)
+    result = evaluate_generator(
+        gan, params["generator"], ds,
+        n_samples=32, batch=16,
+        extractor=RandomConvFeatures(seed=0, width=8),
+        prdc_k=3,
+    )
+    for key in ("precision", "recall", "density", "coverage"):
+        assert key in result and 0.0 <= result[key], key
+    # ref_stats mode can't do prdc — loud error, not a silent omission
+    with pytest.raises(ValueError, match="per-sample"):
+        evaluate_generator(
+            gan, params["generator"], None,
+            n_samples=8, batch=8,
+            extractor=RandomConvFeatures(seed=0, width=8),
+            ref_stats=(np.zeros(4), np.eye(4)),
+            prdc_k=3,
+        )
