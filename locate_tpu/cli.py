@@ -127,7 +127,9 @@ def cmd_export(argv: List[str]) -> int:
     """Export the latest checkpoint's (EMA) generator to a standalone .npz
     + .json serving artifact. `--compiled-batch N` additionally writes a
     self-contained COMPILED .stablehlo artifact (jax.export: weights baked
-    in, runs under bare jax with no model code) for batch-N serving."""
+    in, runs under bare jax with no model code) for batch-N serving.
+    `--torch=PATH.pt` additionally writes a PyTorch state_dict (torch
+    layout conventions — io/torch_bridge.py) for cross-framework use."""
     import jax
 
     from locate_tpu.io.checkpoint import CheckpointManager
@@ -158,6 +160,14 @@ def cmd_export(argv: List[str]) -> int:
             compute_dtype=cfg.train.compute_dtype,
         )
         print(f"[locate-tpu] exported compiled serving artifact to {cpath}")
+    torch_out = _str_flag(flags, "torch")
+    if torch_out:
+        import torch
+
+        from locate_tpu.io.torch_bridge import state_dict_from_params
+
+        torch.save(state_dict_from_params(g_params), torch_out)
+        print(f"[locate-tpu] exported torch state_dict to {torch_out}")
     mgr.close()
     return 0
 
