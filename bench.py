@@ -255,6 +255,16 @@ def main() -> None:
             "shipped preset step (lazy R1 gamma=0.1 interval 16), "
             "device-only, same batch/spc"
         )
+    try:
+        # HBM footprint of the headline program (allocator peak across the
+        # run). None when the backend doesn't expose memory_stats.
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if stats.get("peak_bytes_in_use"):
+            extra["peak_hbm_bytes"] = int(stats["peak_bytes_in_use"])
+            if stats.get("bytes_limit"):
+                extra["hbm_limit_bytes"] = int(stats["bytes_limit"])
+    except Exception:
+        pass
     kind = jax.devices()[0].device_kind
     peak = _PEAK_BF16_FLOPS.get(kind)
     mfu = (

@@ -43,12 +43,30 @@ def d_hinge_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
     return real + fake
 
 
+def g_wgan_loss(fake_logits: jax.Array) -> jax.Array:
+    """Wasserstein generator loss: -E[D(fake)] (same form as hinge's G)."""
+    return -jnp.mean(fake_logits.astype(jnp.float32))
+
+
+def d_wgan_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
+    """Wasserstein critic loss: E[D(fake)] - E[D(real)] (arXiv 1701.07875).
+    Needs a Lipschitz control to be meaningful — pair with the R1 penalty
+    (`train.r1_gamma`, a zero-centered gradient penalty: arXiv 1801.04406
+    shows it serves the same role as WGAN-GP's one-centered one) and/or
+    `train.logit_penalty` to keep the critic's scale anchored."""
+    return jnp.mean(fake_logits.astype(jnp.float32)) - jnp.mean(
+        real_logits.astype(jnp.float32)
+    )
+
+
 def get_losses(kind: str):
     """(g_loss_fn, d_loss_fn) for a configured loss family."""
     if kind == "nonsat":
         return g_nonsat_loss, d_nonsat_loss
     if kind == "hinge":
         return g_hinge_loss, d_hinge_loss
+    if kind == "wgan":
+        return g_wgan_loss, d_wgan_loss
     raise ValueError(f"unknown GAN loss {kind!r}")
 
 
