@@ -148,6 +148,11 @@ class OptimConfig:
     beta1: float = 0.0
     beta2: float = 0.99
     eps: float = 1e-8
+    # Global-norm gradient clip applied before Adam; 0 disables. A blunt
+    # stability control next to the targeted ones (R1, logit_penalty,
+    # apply_if_finite) — useful for wgan critics and TTUR-style schedules
+    # whose grad norms spike (DESIGN.md dynamics tables).
+    clip_grad_norm: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,6 +40,8 @@ def make_optimizer(
         learning_rate=schedule if schedule is not None else cfg.lr,
         b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
     )
+    if cfg.clip_grad_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), opt)
     if max_nonfinite_skips > 0:
         # Numerics sanitizer (SURVEY.md §6): skip non-finite updates.
         # The error limit is effectively infinite ON PURPOSE: optax's

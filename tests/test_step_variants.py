@@ -272,3 +272,41 @@ def test_wgan_step_trains(tiny_config):
     _, hist = run_steps(cfg)
     assert all(np.isfinite(list(h.values())).all() for h in hist)
     assert hist[-1]["real_logits"] > hist[-1]["fake_logits"]
+
+
+def test_clip_grad_norm(tiny_config):
+    """d_opt.clip_grad_norm: the observed post-clip update direction obeys
+    the cap — pinned by comparing one step against manually clipped optax
+    updates; and the full step trains finite."""
+    import optax
+    from locate_tpu.objectives.optim import make_optimizers
+
+    clip = 1e-3
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train,
+            d_opt=dataclasses.replace(tiny_config.train.d_opt,
+                                      clip_grad_norm=clip),
+            g_opt=dataclasses.replace(tiny_config.train.g_opt,
+                                      clip_grad_norm=clip),
+        ),
+    )
+    g_opt, d_opt = make_optimizers(cfg.train)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 100.0), "b": jnp.full((4,), 100.0)}
+    st = d_opt.init(params)
+    updates, _ = d_opt.update(grads, st, params)
+    # reference: clip first, then the plain adam chain
+    ref_opt = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adam(cfg.train.d_opt.lr, b1=cfg.train.d_opt.beta1,
+                   b2=cfg.train.d_opt.beta2, eps=cfg.train.d_opt.eps),
+    )
+    ref_updates, _ = ref_opt.update(grads, ref_opt.init(params), params)
+    for k in updates:
+        np.testing.assert_allclose(np.asarray(updates[k]),
+                                   np.asarray(ref_updates[k]), rtol=1e-6)
+
+    _, hist = run_steps(cfg, n=3)
+    assert all(np.isfinite(list(h.values())).all() for h in hist)
