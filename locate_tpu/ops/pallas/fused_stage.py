@@ -68,6 +68,7 @@ interpret mode and the real-TPU bf16 path is spot-checked per CLAUDE.md.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -617,7 +618,15 @@ def _pick_rows(h: int, width: int, c: int, co: int, hd: int,
                budget: int = 4 * 1024 * 1024) -> int:
     """Rows per tile: the kernel keeps ~4 row-copies of C channels and ~3 of
     Co (+gate hidden) live per row; stay under `budget` VMEM for the tile
-    state (weights + pipeline double buffering come on top)."""
+    state (weights + pipeline double buffering come on top).
+
+    LOCATE_TPU_VMEM_BUDGET (bytes) overrides the default for tuning runs;
+    measured on the emulated chip (DESIGN.md "gate re-check"): 2-16 MiB all
+    land within the session noise band at the losing 256^2 shapes, so the
+    default stays."""
+    env = os.environ.get("LOCATE_TPU_VMEM_BUDGET")
+    if env:
+        budget = int(env)
     per_row = width * (2 * (4 * c + 3 * co + hd) + 4 * co)
     t = max(1, budget // max(1, per_row))
     for cand in (128, 64, 32, 16, 8, 4, 2, 1):

@@ -65,6 +65,12 @@ def main():
     # the 512^2 top stage
     shapes = [(128, 64, 16), (64, 128, 16), (32, 256, 16), (16, 512, 16),
               (256, 64, 8), (256, 128, 8), (512, 64, 2)]
+    # optional filter: "shapes=res:ch:n,res:ch:n" limits the ladder (gate
+    # tuning runs re-measure only the disputed shapes)
+    for a in sys.argv[2:]:
+        if a.startswith("shapes="):
+            shapes = [tuple(int(v) for v in s.split(":"))
+                      for s in a.split("=", 1)[1].split(",")]
     for res, ch, n in shapes:
         fused, oracle = stage_pair(res, ch, mode)
         params = oracle.init(jax.random.PRNGKey(0))

@@ -41,6 +41,14 @@ def try_step(preset: str, batch: int, steps: int, overrides: dict,
         "train.max_nonfinite_skips": "0",
         **overrides,
     }
+    # steps_per_call support: cadences must be multiples of k, and the
+    # fed batch carries a leading [k] scan axis
+    k = int(ov.get("train.steps_per_call", "1"))
+    if k > 1:
+        ov.setdefault("train.log_every", str(100 * k))
+        ov.setdefault("train.sample_every", str(2000 * k))
+        ov.setdefault("train.checkpoint_every", str(2000 * k))
+        ov.setdefault("train.total_steps", str(100_000 * k))
     cfg = get_config(preset, ov)
     res = cfg.model.resolution
     cfg = dataclasses.replace(
@@ -57,12 +65,13 @@ def try_step(preset: str, batch: int, steps: int, overrides: dict,
             state = place_train_state(state, shardings_for(state))
             step = jit_step_for(state)
             rng = np.random.default_rng(0)
+            shape = ((batch, res, res, 3) if k == 1
+                     else (k, batch, res, res, 3))
             host = {
-                "image": rng.integers(0, 256, (batch, res, res, 3),
-                                      dtype=np.uint8),
-                "label": np.zeros((batch,), np.int32),
+                "image": rng.integers(0, 256, shape, dtype=np.uint8),
+                "label": np.zeros(shape[:-3], np.int32),
             }
-            dev = {k: jax.device_put(v, b_shard) for k, v in host.items()}
+            dev = {kk: jax.device_put(v, b_shard) for kk, v in host.items()}
             t0 = time.perf_counter()
             state, metrics = step(state, dev)
             jax.block_until_ready(metrics)
@@ -70,13 +79,15 @@ def try_step(preset: str, batch: int, steps: int, overrides: dict,
             for _ in range(3):  # warm
                 state, metrics = step(state, dev)
             jax.block_until_ready(metrics)
+            calls = max(1, steps // k)
             t0 = time.perf_counter()
-            for _ in range(steps):
+            for _ in range(calls):
                 state, metrics = step(state, dev)
             jax.block_until_ready(metrics)
             dt = time.perf_counter() - t0
-            out["images_per_sec"] = round(steps * batch / dt, 1)
-            out["sec_per_step"] = round(dt / steps, 4)
+            out["steps_per_call"] = k
+            out["images_per_sec"] = round(calls * k * batch / dt, 1)
+            out["sec_per_step"] = round(dt / (calls * k), 4)
             out["ok"] = True
     except Exception as e:
         msg = repr(e)
@@ -131,6 +142,22 @@ def time_g_forward(preset: str, batch: int, use_pallas: bool,
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "scan512":
+        # Full TRAIN STEP fused-vs-XLA at the 512^2 tier with scan
+        # amortization (train.steps_per_call) lifting the per-dispatch
+        # latency floor that made single-call A/B unmeasurable (STATUS
+        # round-3 table: all batches sat on the ~3 ms dispatch floor).
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        spc = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        steps = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+        base_ov = {"train.r1_gamma": "0.0",
+                   "train.steps_per_call": str(spc)}
+        try_step("ffhq_512", batch, steps,
+                 {**base_ov, "use_pallas": "true"}, f"scan{spc}_fused")
+        try_step("ffhq_512", batch, steps,
+                 {**base_ov, "use_pallas": "false"}, f"scan{spc}_xla")
+        return
+
     preset = sys.argv[1] if len(sys.argv) > 1 else "ffhq_256"
     batches = [int(b) for b in
                (sys.argv[2] if len(sys.argv) > 2 else "64,32").split(",")]

@@ -465,3 +465,18 @@ def test_pytree_structure_unchanged():
     tf = jax.tree_util.tree_structure(fused.init(jax.random.PRNGKey(0)))
     to = jax.tree_util.tree_structure(oracle.init(jax.random.PRNGKey(0)))
     assert tf == to
+
+
+def test_pick_rows_budget_env(monkeypatch):
+    """LOCATE_TPU_VMEM_BUDGET steers the rows-per-tile choice (tuning
+    knob for gate re-measurement runs)."""
+    from locate_tpu.ops.pallas.fused_stage import _pick_rows
+
+    base = _pick_rows(256, 256, 64, 64, 16)
+    monkeypatch.setenv("LOCATE_TPU_VMEM_BUDGET", str(64 * 1024 * 1024))
+    big = _pick_rows(256, 256, 64, 64, 16)
+    monkeypatch.setenv("LOCATE_TPU_VMEM_BUDGET", str(256 * 1024))
+    small = _pick_rows(256, 256, 64, 64, 16)
+    assert small <= base <= big
+    assert small < big
+    assert 256 % small == 0 and 256 % big == 0
