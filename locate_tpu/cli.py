@@ -123,6 +123,87 @@ def cmd_sample(argv: List[str]) -> int:
     return 0
 
 
+def cmd_project(argv: List[str]) -> int:
+    """Invert images into the generator's latent space (GAN inversion;
+    io/projection.py — the whole optimization is ONE compiled scan).
+
+        locate-tpu project PRESET --images DIR [--count N] [--steps N]
+                  [--lr F] [--out z.npy] [--recon grid.png] [--raw]
+
+    --images: folder of images (decoded + center-cropped + resized to the
+    config's resolution) OR a .npy of uint8/float NHWC images. Labels for
+    class-conditional models come from class subdirs when present.
+    --raw projects through the raw generator instead of the EMA one.
+    Writes z (and per-image final reconstruction MSE) to --out (.npz).
+    """
+    import jax
+    import numpy as np
+
+    from locate_tpu.data.datasets import ImageFolder
+    from locate_tpu.io.checkpoint import CheckpointManager
+    from locate_tpu.io.projection import project, reconstruction_grid
+    from locate_tpu.io.sampling import save_image_grid
+    from locate_tpu.models.gan import build_gan
+    from locate_tpu.train.state import create_train_state
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
+    ckpt_dir = _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints"
+    mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
+    state = mgr.restore(state)
+    g_params = (
+        state.g_params
+        if (flags.get("raw") or state.ema_params is None)
+        else state.ema_params
+    )
+
+    src = _str_flag(flags, "images")
+    if not src:
+        raise SystemExit("project needs --images=DIR_or_NPY")
+    count = int(_str_flag(flags, "count", "16"))
+    labels = None
+    if src.endswith(".npy"):
+        arr = np.load(src)[:count]
+        imgs = np.asarray(arr, np.float32)
+        if imgs.max() > 2.0:  # uint8-range -> [-1, 1]
+            imgs = imgs / 127.5 - 1.0
+    else:
+        ds = ImageFolder(src, cfg.model.resolution, cfg.model.img_channels)
+        n = min(count, len(ds))
+        pairs = [ds.example(i) for i in range(n)]
+        imgs = np.stack([p[0] for p in pairs]).astype(np.float32) / 127.5 - 1.0
+        if cfg.model.num_classes:
+            labels = np.asarray([p[1] for p in pairs], np.int32)
+    if cfg.model.num_classes and labels is None:
+        labels = np.zeros((imgs.shape[0],), np.int32)
+
+    steps = int(_str_flag(flags, "steps", "400"))
+    z, hist = project(
+        gan, g_params, imgs, labels=labels, steps=steps,
+        lr=float(_str_flag(flags, "lr", "0.05")),
+        prior_weight=float(_str_flag(flags, "prior-weight", "1e-3")),
+        key=jax.random.PRNGKey(int(_str_flag(flags, "seed", "0"))),
+    )
+    out = _str_flag(flags, "out") or f"{cfg.workdir}/projected_z.npz"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    np.savez(out, z=z, loss_history=hist,
+             **({} if labels is None else {"labels": labels}))
+    print(
+        f"[locate-tpu] projected {imgs.shape[0]} images in {steps} steps: "
+        f"loss {float(hist[0]):.4f} -> {float(hist[-1]):.4f}; z -> {out}"
+    )
+    recon = _str_flag(flags, "recon")
+    if recon:
+        grid = reconstruction_grid(gan, g_params, imgs, z, labels)
+        save_image_grid(grid, recon, cols=2)
+        print(f"[locate-tpu] wrote [target|recon] grid to {recon}")
+    mgr.close()
+    return 0
+
+
 def cmd_export(argv: List[str]) -> int:
     """Export the latest checkpoint's (EMA) generator to a standalone .npz
     + .json serving artifact. `--compiled-batch N` additionally writes a
@@ -450,6 +531,7 @@ def cmd_bench_sample(argv: List[str]) -> int:
 COMMANDS = {
     "train": cmd_train,
     "sample": cmd_sample,
+    "project": cmd_project,
     "eval": cmd_eval,
     "export": cmd_export,
     "pack": cmd_pack,

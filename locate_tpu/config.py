@@ -85,6 +85,12 @@ class ModelConfig:
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(stages) less
     # activation HBM — needed at 512^2 (SURVEY.md §8 M7).
     remat: bool = False
+    # Spectral normalization of the DISCRIMINATOR's weights (SN-GAN,
+    # arXiv 1802.05957): every weight matrix divided by its largest
+    # singular value at apply time. Stateless fresh-start power iteration
+    # (ops/spectral.py) — no pytree/optimizer/checkpoint change.
+    spectral_norm: bool = False
+    sn_iters: int = 9
 
     def __post_init__(self):
         r = self.resolution

@@ -84,6 +84,14 @@ def build_discriminator(
         return params
 
     def apply(params, x, labels=None):
+        if cfg.spectral_norm:
+            # Stateless SN (ops/spectral.py): pure params transform, so the
+            # fused Pallas stage path below consumes normalized weights
+            # too, and XLA CSEs the repeated transform across the several
+            # D applies inside one jitted train step.
+            from locate_tpu.ops.spectral import spectral_normalize
+
+            params = spectral_normalize(params, n_iters=cfg.sn_iters)
         cd = compute_dtype or x.dtype
         h = stem.apply(params["stem"], x.astype(cd))
         h = trunk.apply(params["trunk"], h)

@@ -157,6 +157,36 @@ def discriminator_forward(params, cfg: ModelConfig, x, labels=None):
     return logit
 
 
+def spectral_normalize_torch(tree, v0_fn, n_iters=9, eps=1e-12):
+    """Twin of ops/spectral.spectral_normalize: divide every "w" leaf by
+    its power-iteration sigma, keeping autograd through W (u, v detached —
+    same stop_gradient semantics as the JAX side). `v0_fn(cols)` must
+    return the SAME deterministic start vector the JAX side uses (the test
+    bridges it from jax.random so this file stays jax-free)."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if k == "w" and torch.is_tensor(v) and v.ndim >= 2:
+                m = v.reshape(-1, v.shape[-1])
+                vec = v0_fn(m.shape[-1])
+                vec = vec / vec.norm()
+                for _ in range(n_iters):
+                    u = m.detach() @ vec
+                    u = u / (u.norm() + eps)
+                    vec = m.detach().T @ u
+                    vec = vec / (vec.norm() + eps)
+                u = m.detach() @ vec
+                u = u / (u.norm() + eps)
+                sigma = u @ (m @ vec)
+                out[k] = v / torch.clamp(sigma, min=eps)
+            else:
+                out[k] = spectral_normalize_torch(v, v0_fn, n_iters, eps)
+        return out
+    if isinstance(tree, (list, tuple)):
+        return [spectral_normalize_torch(v, v0_fn, n_iters, eps) for v in tree]
+    return tree
+
+
 def to_torch_params(tree):
     """Our params pytree -> torch tensors (requires_grad on leaves)."""
     if isinstance(tree, dict):
