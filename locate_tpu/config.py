@@ -212,6 +212,19 @@ class TrainConfig:
     # grad-of-grad cost (higher variance; the penalty is a regularizer,
     # not a loss, so variance is cheap). 1.0 = full batch.
     r1_batch_fraction: float = 1.0
+    # Path-length regularization on G (StyleGAN2, arXiv 1912.04958 §B):
+    # keeps ||J_z^T y|| concentrated around its running mean so latent
+    # steps move images by consistent amounts. Lazy (every pl_interval
+    # steps, lazy-reg scaled); adds a `pl_mean` scalar to TrainState when
+    # enabled. 0 disables; StyleGAN2 uses weight 2.
+    pl_gamma: float = 0.0
+    pl_interval: int = 4
+    pl_decay: float = 0.01
+    # WGAN-GP one-centered gradient penalty at random real/fake
+    # interpolates (arXiv 1704.00028); fires EVERY step (the classic
+    # recipe — use lazy R1 instead when grad-of-grad cost matters).
+    # 0 disables; the paper uses 10 with the wgan loss.
+    gp_gamma: float = 0.0
     # ProGAN-style drift penalty eps * E[D(real)^2] (arXiv 1710.10196
     # §A.1) — keeps D's logits from running away (the observed
     # long-horizon failure mode: D saturates, G gradients explode).

@@ -78,3 +78,51 @@ def r1_penalty(d_apply, d_params, real_images: jax.Array, labels=None) -> jax.Ar
 
     grads = jax.grad(score)(real_images.astype(jnp.float32))
     return 0.5 * jnp.mean(jnp.sum(grads.astype(jnp.float32) ** 2, axis=(1, 2, 3)))
+
+
+def path_lengths(g_apply, g_params, z: jax.Array, labels, key: jax.Array
+                 ) -> jax.Array:
+    """Per-sample path lengths ||J_z^T y||_2 for the path-length
+    regularizer (StyleGAN2, arXiv 1912.04958 §B): y is image-shaped
+    N(0, I/(H*W)) noise, J the generator Jacobian at z. One jax.vjp —
+    no materialized Jacobian; differentiating the result w.r.t. g_params
+    is the grad-of-grad the train step pays only on pl_interval steps."""
+    imgs, vjp_fn = jax.vjp(
+        lambda zz: g_apply(g_params, zz, labels).astype(jnp.float32),
+        z.astype(jnp.float32),
+    )
+    n, h, w, _ = imgs.shape
+    y = jax.random.normal(key, imgs.shape, jnp.float32) / jnp.sqrt(
+        jnp.asarray(h * w, jnp.float32)
+    )
+    (jt_y,) = vjp_fn(y)
+    return jnp.sqrt(jnp.sum(jt_y.astype(jnp.float32) ** 2, axis=-1) + 1e-12)
+
+
+def gradient_penalty(
+    d_apply, d_params, real: jax.Array, fake: jax.Array, eps: jax.Array,
+    labels=None,
+) -> jax.Array:
+    """WGAN-GP (arXiv 1704.00028): one-centered gradient penalty at random
+    interpolates x_hat = eps*real + (1-eps)*fake,
+
+        E[ (||grad_x D(x_hat)||_2 - 1)^2 ]          (fp32)
+
+    `eps` is (N, 1, 1, 1) uniform in [0, 1] (drawn by the caller so the
+    train step controls replica consistency). For conditional models the
+    interpolates are scored under the REAL labels (the standard cGAN-GP
+    convention; real/fake label streams differ, and the penalty only
+    needs *a* valid conditioning per row)."""
+    x_hat = (
+        eps * real.astype(jnp.float32)
+        + (1.0 - eps) * fake.astype(jnp.float32)
+    )
+
+    def score(x):
+        return jnp.sum(d_apply(d_params, x, labels))
+
+    grads = jax.grad(score)(x_hat)
+    norms = jnp.sqrt(
+        jnp.sum(grads.astype(jnp.float32) ** 2, axis=(1, 2, 3)) + 1e-12
+    )
+    return jnp.mean((norms - 1.0) ** 2)

@@ -21,8 +21,9 @@ TPU-first constraints shape the design:
     ONE gather instead of separate image-sized shuffles.
 
 Ops (each applied independently with probability p, per sample):
-  x-flip; integer translation up to ±H/8 (wrap-around); brightness
-  (x + b, b~N(0,0.2)); contrast about the per-sample mean
+  x-flip; 90° rotation (k uniform in {1,2,3}; square images — ADA's full
+  pixel-blitting group); integer translation up to ±H/8 (wrap-around);
+  brightness (x + b, b~N(0,0.2)); contrast about the per-sample mean
   (c = 2^N(0,0.5)); saturation about the per-pixel luma (RGB only,
   s = 2^N(0,1)); cutout (H/2 × W/2 box of zeros = mid-gray).
 """
@@ -33,20 +34,38 @@ import jax
 import jax.numpy as jnp
 
 
-def augment_pipeline(key: jax.Array, x: jax.Array, p) -> jax.Array:
+def augment_pipeline(
+    key: jax.Array, x: jax.Array, p,
+    ops: tuple = ("geom", "color", "cutout"),
+) -> jax.Array:
     """Apply the augmentation stack to a batch.
 
     `p` may be a Python float or a traced scalar (ADA adapts it without
     recompiling). p == 0 is the identity in value (the program still
     contains the blended ops); callers disable augmentation structurally
-    by not calling this at all.
+    by not calling this at all. `ops` selects op CATEGORIES (static —
+    changes the compiled program), mirroring ADA's category switches:
+    "geom" (flip/rot90/translate), "color" (brightness/contrast/
+    saturation), "cutout". Key splits are fixed per op regardless of the
+    subset, so a category's draws don't shift when another is disabled.
     """
-    n, h, w, c = x.shape
-    dtype = x.dtype
     p = jnp.asarray(p, jnp.float32)
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 14)
+    if "geom" in ops:
+        x = _blit(ks, p, x)
+    if "color" in ops:
+        x = _color(ks, p, x)
+    if "cutout" in ops:
+        x = _cutout(ks, p, x)
+    return x
 
-    # ---- geometric: flip + integer translation as one gather ----------
+
+def _blit(ks, p, x):
+    n, h, w, _ = x.shape
+    # ---- geometric: flip + rot90 + integer translation as ONE gather --
+    # (ADA's pixel-blitting group). The dihedral part makes the source
+    # index grids non-separable, so they are full (n, h, w) int32 maps —
+    # a few MB at 128^2, amortized into the single gather.
     flip = jax.random.bernoulli(ks[0], p, (n,))
     t_apply = jax.random.bernoulli(ks[1], p, (n,))
     max_ty, max_tx = max(h // 8, 1), max(w // 8, 1)
@@ -56,11 +75,31 @@ def augment_pipeline(key: jax.Array, x: jax.Array, p) -> jax.Array:
     tx = jnp.where(
         t_apply, jax.random.randint(ks[3], (n,), -max_tx, max_tx + 1), 0
     )
-    iy = (jnp.arange(h)[None, :] - ty[:, None]) % h            # (n, h)
-    ix0 = jnp.arange(w)[None, :]
-    ix = jnp.where(flip[:, None], w - 1 - ix0, ix0)
-    ix = (ix - tx[:, None]) % w                                # (n, w)
-    x = x[jnp.arange(n)[:, None, None], iy[:, :, None], ix[:, None, :]]
+    gy = (jnp.arange(h)[None, :, None] - ty[:, None, None]) % h  # (n,h,1)
+    gx = (jnp.arange(w)[None, None, :] - tx[:, None, None]) % w  # (n,1,w)
+    gx = jnp.where(flip[:, None, None], w - 1 - gx, gx)
+    gy = jnp.broadcast_to(gy, (n, h, w))
+    gx = jnp.broadcast_to(gx, (n, h, w))
+    if h == w:  # rotations need square images (all presets are square)
+        r_apply = jax.random.bernoulli(ks[12], p, (n,))
+        rk = jnp.where(
+            r_apply, jax.random.randint(ks[13], (n,), 1, 4), 0
+        )[:, None, None]
+        sy = jnp.select(
+            [rk == 1, rk == 2, rk == 3],
+            [gx, h - 1 - gy, w - 1 - gx], gy,
+        )
+        sx = jnp.select(
+            [rk == 1, rk == 2, rk == 3],
+            [h - 1 - gy, w - 1 - gx, gy], gx,
+        )
+        gy, gx = sy, sx
+    return x[jnp.arange(n)[:, None, None], gy, gx]
+
+
+def _color(ks, p, x):
+    n, _, _, c = x.shape
+    dtype = x.dtype
 
     # ---- color --------------------------------------------------------
     def blend(apply, aug):
@@ -88,7 +127,12 @@ def augment_pipeline(key: jax.Array, x: jax.Array, p) -> jax.Array:
             x * jnp.asarray([0.299, 0.587, 0.114], dtype)
         ).sum(-1, keepdims=True)
         x = blend(s_apply, (x - luma) * sfac + luma)
+    return x
 
+
+def _cutout(ks, p, x):
+    n, h, w, _ = x.shape
+    dtype = x.dtype
     # ---- cutout -------------------------------------------------------
     cut_apply = jax.random.bernoulli(ks[10], p, (n,))
     k_cy, k_cx = jax.random.split(ks[11])

@@ -28,6 +28,8 @@ class TrainState:
     ada_p: Any = None               # scalar augmentation probability
                                     # (None when augmentation disabled —
                                     # keeps the pytree unchanged)
+    pl_mean: Any = None             # path-length running mean (None when
+                                    # train.pl_gamma == 0)
 
 
 def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
@@ -50,5 +52,8 @@ def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
         ema_params=ema,
         ada_p=(
             jnp.asarray(cfg.train.augment_p, jnp.float32) if aug_on else None
+        ),
+        pl_mean=(
+            jnp.zeros((), jnp.float32) if cfg.train.pl_gamma > 0.0 else None
         ),
     )

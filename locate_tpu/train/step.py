@@ -34,7 +34,12 @@ import optax
 from locate_tpu.config import Config
 from locate_tpu.models.gan import GAN
 from locate_tpu.objectives.ema import ema_update
-from locate_tpu.objectives.losses import get_losses, r1_penalty
+from locate_tpu.objectives.losses import (
+    get_losses,
+    gradient_penalty,
+    path_lengths,
+    r1_penalty,
+)
 from locate_tpu.objectives.optim import make_optimizers
 from locate_tpu.train.state import TrainState
 
@@ -82,11 +87,12 @@ def make_train_step(
             ka = jax.random.fold_in(ka, jax.lax.axis_index(axis_name))
         return jax.random.split(ka, count)
 
-    # R1 is grad-of-grad; the Pallas attention's custom_vjp is first-order
-    # only, so the penalty runs through an XLA-path discriminator twin
-    # (identical params pytree — use_pallas changes apply, not init).
+    # R1/GP are grad-of-grad; the Pallas attention's custom_vjp is first-
+    # order only, so the penalties run through an XLA-path discriminator
+    # twin (identical params pytree — use_pallas changes apply, not init).
+    any_gp = tcfg.r1_gamma > 0.0 or tcfg.gp_gamma > 0.0
     d_apply_r1 = gan.discriminator.apply
-    if tcfg.r1_gamma > 0.0 and gan.config.use_pallas:
+    if any_gp and gan.config.use_pallas:
         import dataclasses as _dc
 
         from locate_tpu.models.discriminator import build_discriminator
@@ -94,7 +100,18 @@ def make_train_step(
         d_apply_r1 = build_discriminator(
             _dc.replace(gan.config, use_pallas=False), gan.compute_dtype
         ).apply
-    if tcfg.r1_gamma > 0.0 and tcfg.r1_remat:
+    # Path-length reg differentiates THROUGH G's vjp (second order), so it
+    # needs the same XLA-twin treatment on the Pallas path.
+    g_apply_pl = gan.generator.apply
+    if tcfg.pl_gamma > 0.0 and gan.config.use_pallas:
+        import dataclasses as _dc2
+
+        from locate_tpu.models.generator import build_generator
+
+        g_apply_pl = build_generator(
+            _dc2.replace(gan.config, use_pallas=False), gan.compute_dtype
+        ).apply
+    if any_gp and tcfg.r1_remat:
         # Rematerialize the penalty's D forward: differentiating the R1
         # gradient w.r.t. params (grad-of-grad) otherwise keeps every
         # jvp/transpose intermediate live in f32 — measured OOM at
@@ -122,6 +139,9 @@ def make_train_step(
         def sample_labels(key, n):
             lab = gan.sample_labels(key, n)
             return None if lab is None else _cb(lab)
+
+        def sample_gp_eps(key, n):
+            return _cb(jax.random.uniform(key, (n, 1, 1, 1), jnp.float32))
     else:
 
         def _local_rows(arr, n_local):
@@ -135,7 +155,16 @@ def make_train_step(
             lab = gan.sample_labels(key, n * axis_size)
             return None if lab is None else _local_rows(lab, n)
 
-    def d_loss_with_aux(d_params, real, labels, fake, fake_labels, step):
+        def sample_gp_eps(key, n):
+            # same global-draw + local-slice discipline as latents, so the
+            # shard_map trajectory matches the GSPMD global program
+            eps = jax.random.uniform(
+                key, (n * axis_size, 1, 1, 1), jnp.float32
+            )
+            return _local_rows(eps, n)
+
+    def d_loss_with_aux(d_params, real, labels, fake, fake_labels, step,
+                        k_gp=None):
         real_logits = gan.discriminator.apply(d_params, real, labels)
         fake_logits = gan.discriminator.apply(d_params, fake, fake_labels)
         loss = d_loss_of(real_logits, fake_logits)
@@ -183,7 +212,55 @@ def make_train_step(
                 )
             aux["r1"] = pen
             loss = loss + pen
+        if tcfg.gp_gamma > 0.0:
+            # WGAN-GP at random interpolates, every step (classic recipe;
+            # arXiv 1704.00028). Shares R1's XLA-twin/remat machinery
+            # (grad-of-grad); interpolates score under the real labels.
+            eps = sample_gp_eps(k_gp, real.shape[0])
+            gp = gradient_penalty(d_apply_r1, d_params, real, fake, eps,
+                                  labels)
+            aux["gp"] = gp
+            loss = loss + tcfg.gp_gamma * gp
         return loss, aux
+
+    def g_reg(g_params, z, fake_labels, step, rng, pl_mean):
+        """Lazy path-length regularization term for the G loss (StyleGAN2
+        §B). Returns (term, aux). The penalty mean((len - b)^2) is
+        decomposed as m2 - 2*b*m1 + b^2 so the cross-replica pmean of the
+        mean length happens OUTSIDE the lax.cond (collectives inside cond
+        branches break shard_map's replication checks). The baseline b is
+        the UPDATED running mean (stop_gradient, as in the reference
+        implementations); replica-identical because it is built from the
+        pmean'd mean length."""
+        if tcfg.pl_gamma <= 0.0:
+            return jnp.zeros((), jnp.float32), {}
+        k_pl = jax.random.fold_in(rng, 0x504C3132)
+
+        def fire(_):
+            lengths = path_lengths(g_apply_pl, g_params, z, fake_labels, k_pl)
+            return (jnp.mean(lengths), jnp.mean(lengths**2),
+                    jnp.ones((), jnp.float32))
+
+        def skip(_):
+            return (jnp.zeros((), jnp.float32),) * 3
+
+        if tcfg.pl_interval == 1:
+            m1, m2, fired = fire(None)
+        else:
+            m1, m2, fired = jax.lax.cond(
+                step % tcfg.pl_interval == 0, fire, skip, operand=None
+            )
+        m1g = pmean(m1)
+        base = jnp.where(
+            fired > 0,
+            jax.lax.stop_gradient(
+                pl_mean + tcfg.pl_decay * (m1g - pl_mean)
+            ),
+            pl_mean,
+        )
+        pen = m2 - 2.0 * base * m1 + base * base * fired
+        term = pen * (tcfg.pl_gamma * tcfg.pl_interval)
+        return term, {"pl": term, "pl_len": m1g, "pl_mean": base}
 
     def d_update(state, d_grads):
         d_grads = pmean(d_grads)
@@ -199,7 +276,7 @@ def make_train_step(
         return inner.notfinite_count
 
     def finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
-               d_opt_state, g_loss, g_grads, n_local):
+               d_opt_state, g_loss, g_grads, n_local, g_aux=None):
         """Shared tail of both step flavors: G update, EMA, ADA controller,
         metrics, state."""
         g_grads = pmean(g_grads)
@@ -232,7 +309,11 @@ def make_train_step(
                 0.0,
                 1.0,
             )
+        pl_mean = state.pl_mean
+        if g_aux and "pl_mean" in g_aux:
+            pl_mean = g_aux["pl_mean"]  # replica-identical (see g_reg)
         metrics = {
+            **(g_aux or {}),
             "d_loss": d_loss,
             "g_loss": g_loss,
             "d_grad_norm": optax.global_norm(d_grads),
@@ -255,6 +336,7 @@ def make_train_step(
             d_opt_state=d_opt_state,
             ema_params=ema_params,
             ada_p=ada_p,
+            pl_mean=pl_mean,
         )
         return new_state, metrics
 
@@ -294,11 +376,14 @@ def make_train_step(
         else:
             real_in, fake_d_in = real, fake_d
 
+        k_gp = jax.random.fold_in(rng, 0x47504750)
+
         def d_loss_fn(d_params):
-            # R1 (inside d_loss_with_aux) also runs on the augmented real
-            # — D's actual input — matching the ADA paper.
+            # R1/GP (inside d_loss_with_aux) also run on the augmented
+            # real — D's actual input — matching the ADA paper.
             return d_loss_with_aux(
-                d_params, real_in, labels, fake_d_in, fake_labels_d, state.step
+                d_params, real_in, labels, fake_d_in, fake_labels_d,
+                state.step, k_gp
             )
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -314,11 +399,18 @@ def make_train_step(
             fake = gan.generator.apply(g_params, z_g, fake_labels_g)
             if aug_on:  # gradient flows through the augmentation
                 fake = augment_pipeline(ka_g, fake, state.ada_p)
-            return g_loss_of(gan.discriminator.apply(d_params, fake, fake_labels_g))
+            loss = g_loss_of(
+                gan.discriminator.apply(d_params, fake, fake_labels_g)
+            )
+            reg, g_aux = g_reg(g_params, z_g, fake_labels_g, state.step,
+                               rng, state.pl_mean)
+            return loss + reg, g_aux
 
-        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+        (g_loss, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
         return finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
-                      d_opt_state, g_loss, g_grads, n)
+                      d_opt_state, g_loss, g_grads, n, g_aux)
 
     # ---- fused simultaneous step (FusedProp-style) ----------------------
 
@@ -340,26 +432,36 @@ def make_train_step(
             # makes the fused step fast
             return augment_pipeline(ka_f, fake, state.ada_p) if aug_on else fake
 
+        k_gp = jax.random.fold_in(rng, 0x47504750)
+
         def d_loss_fn(d_params):
             fake = jax.lax.stop_gradient(
                 maybe_aug_fake(gan.generator.apply(state.g_params, z, fake_labels))
             )
-            return d_loss_with_aux(d_params, real_in, labels, fake, fake_labels, state.step)
+            return d_loss_with_aux(d_params, real_in, labels, fake,
+                                   fake_labels, state.step, k_gp)
 
         def g_loss_fn(g_params):
             fake = maybe_aug_fake(gan.generator.apply(g_params, z, fake_labels))
             # current (pre-update) D: simultaneous gradients; the forward
             # here is identical HLO to the one in d_loss_fn -> XLA CSE
             # computes G(z) and D(fake) once for both losses.
-            return g_loss_of(gan.discriminator.apply(state.d_params, fake, fake_labels))
+            loss = g_loss_of(
+                gan.discriminator.apply(state.d_params, fake, fake_labels)
+            )
+            reg, g_aux = g_reg(g_params, z, fake_labels, state.step,
+                               rng, state.pl_mean)
+            return loss + reg, g_aux
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
         )
-        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+        (g_loss, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
         d_params, d_opt_state, d_grads = d_update(state, d_grads)
         return finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
-                      d_opt_state, g_loss, g_grads, n)
+                      d_opt_state, g_loss, g_grads, n, g_aux)
 
     return fused_step if tcfg.fused_step else alternating_step
 
@@ -368,7 +470,8 @@ def make_train_step(
 # running state (the non-finite skip streak, the ADA controller's p) —
 # the value AT the end of the window is the current state the abort
 # check / logs need, and for augment_p it must equal state.ada_p.
-_LAST_METRICS = ("d_nonfinite_streak", "g_nonfinite_streak", "augment_p")
+_LAST_METRICS = ("d_nonfinite_streak", "g_nonfinite_streak", "augment_p",
+                 "pl_mean")
 
 
 def make_multi_step(

@@ -57,6 +57,75 @@ def test_geometry_preserves_pixel_multiset():
         assert len(np.unique(y[i].round(5))) <= 2
 
 
+def test_blit_group_membership():
+    """ops=("geom",) at p=1: every output sample must be EXACTLY some
+    element of the pixel-blitting group (x-flip x rot90 x wrap-around
+    translation) applied to its input — enumerated exhaustively at 8x8.
+    Catches any indexing bug in the fused gather (a clamp instead of a
+    wrap, a transposed rotation, an off-by-one) that multiset tests
+    cannot see."""
+    h = 8
+    x = np.arange(4 * h * h * 1, dtype=np.float32).reshape(4, h, h, 1)
+    y = np.asarray(
+        augment_pipeline(jax.random.PRNGKey(7), jnp.asarray(x), 1.0,
+                         ops=("geom",))
+    )
+    max_t = h // 8  # translation range used by the pipeline
+
+    def candidates(img):
+        for flip in (False, True):
+            a = img[:, ::-1] if flip else img
+            for ty in range(-max_t, max_t + 1):
+                b = np.roll(a, ty, axis=0)
+                for tx in range(-max_t, max_t + 1):
+                    c = np.roll(b, tx, axis=1)
+                    for k in range(4):
+                        yield np.rot90(c, k)
+
+    for i in range(4):
+        assert any(
+            np.array_equal(y[i], cand) for cand in candidates(x[i])
+        ), f"sample {i} is not a blit-group element"
+
+
+def test_rot90_actually_fires():
+    """At p=1 with many samples, some output must differ from every
+    flip+translate-only candidate (i.e. rotation by 90/270 occurred) —
+    pins that the rotation branch is live, not dead code."""
+    h = 8
+    n = 16
+    x = np.arange(n * h * h, dtype=np.float32).reshape(n, h, h, 1)
+    y = np.asarray(
+        augment_pipeline(jax.random.PRNGKey(3), jnp.asarray(x), 1.0,
+                         ops=("geom",))
+    )
+    max_t = h // 8
+
+    def no_rot_candidates(img):
+        for flip in (False, True):
+            a = img[:, ::-1] if flip else img
+            for ty in range(-max_t, max_t + 1):
+                for tx in range(-max_t, max_t + 1):
+                    yield np.roll(np.roll(a, ty, 0), tx, 1)
+                    # 180 = flip-x + flip-y, reachable without axis swap:
+                    yield np.roll(np.roll(a[::-1, ::-1], ty, 0), tx, 1)
+
+    rotated = [
+        not any(np.array_equal(y[i], c) for c in no_rot_candidates(x[i]))
+        for i in range(n)
+    ]
+    assert any(rotated), "no sample shows a 90/270 rotation at p=1"
+
+
+def test_ops_subset_identity():
+    """Disabled categories are structurally absent: geom-only output of a
+    constant image is the image itself (geometry permutes equal pixels),
+    and color-only preserves the pixel ordering (no gather)."""
+    x = jnp.full((2, 8, 8, 3), 0.5, jnp.float32)
+    y = augment_pipeline(jax.random.PRNGKey(0), x, 1.0, ops=("geom",))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_differentiable():
     x = _imgs(jax.random.PRNGKey(0))
 

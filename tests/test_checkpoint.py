@@ -121,6 +121,32 @@ def test_restore_backfills_new_state_fields(tiny_config, tmp_path):
     assert restored.ada_p is not None and float(restored.ada_p) == 0.25
 
 
+def test_restore_backfills_pl_mean_enabled_on_resume(tiny_config, tmp_path):
+    """Enable path-length reg on a run checkpointed without it: pl_mean
+    backfills from the template's initial 0.0 (the running mean re-warms
+    in ~1/pl_decay firing steps)."""
+    import dataclasses
+
+    from locate_tpu.io.checkpoint import CheckpointManager
+
+    gan = build_gan(tiny_config)
+    s0 = create_train_state(tiny_config, gan, jax.random.PRNGKey(0))
+    assert s0.pl_mean is None
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=1, async_save=False)
+    mgr.save(s0, step=2)
+    mgr.close()
+
+    cfg_pl = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, pl_gamma=2.0),
+    )
+    tmpl = create_train_state(cfg_pl, build_gan(cfg_pl), jax.random.PRNGKey(0))
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), keep=1, async_save=False)
+    restored = mgr2.restore(tmpl)
+    mgr2.close()
+    assert restored.pl_mean is not None and float(restored.pl_mean) == 0.0
+
+
 def test_restore_backfills_ema_enabled_on_resume(tiny_config, tmp_path):
     """Enable EMA on a run checkpointed without it: orbax rejects the
     missing SUBTREE outright, so restore retries with the field blanked

@@ -209,6 +209,57 @@ def test_sn_dp_tp_matches_single_device(tiny_config):
         np.testing.assert_allclose(a["g_loss"], b["g_loss"], rtol=5e-3)
 
 
+def test_pl_reg_shardmap_matches_gspmd(tiny_config):
+    """Path-length reg under the explicit shard_map backend: the penalty's
+    cross-replica mean (pmean) sits OUTSIDE the lax.cond by design — this
+    pins that the program compiles, runs, keeps pl_mean replica-identical,
+    and agrees with the GSPMD global program on the data-identical step-1
+    statistics."""
+    from locate_tpu.parallel.mesh import make_mesh
+    from locate_tpu.parallel.sharding import (
+        make_shardmap_train_step,
+        make_sharded_train_step,
+        place_train_state,
+    )
+    from locate_tpu.train.state import create_train_state
+    from locate_tpu.models.gan import build_gan
+    from test_parallel import make_batch
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, pl_gamma=2.0, pl_interval=1
+        ),
+    )
+    gan = build_gan(cfg)
+    mesh = make_mesh(cfg.parallel)
+
+    def run(maker):
+        with mesh:
+            state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+            jit_for, sh_for, b_shard = maker(cfg, gan, mesh)
+            state = place_train_state(state, sh_for(state))
+            step = jit_for(state)
+            batch = jax.device_put(
+                make_batch(cfg, jax.random.PRNGKey(1)),
+                {"image": b_shard, "label": b_shard},
+            )
+            state, metrics = step(state, batch)
+            return state, {k: float(v) for k, v in metrics.items()}
+
+    s_sm, sm = run(make_shardmap_train_step)
+    _, gs = run(make_sharded_train_step)
+    assert np.isfinite(list(sm.values())).all()
+    assert sm["pl"] > 0.0
+    # real-data statistics are latent-stream-free => exact-ish agreement
+    np.testing.assert_allclose(gs["real_logits"], sm["real_logits"],
+                               rtol=1e-4, atol=1e-5)
+    # pl_mean replicated identically across all 8 devices
+    shards = [np.asarray(s.data) for s in s_sm.pl_mean.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
 def test_sn_with_r1_grad_of_grad(tiny_config):
     """The shipped presets pair SN-style controls with lazy R1 (grad-of-
     grad through D). sigma's power iteration sits under stop_gradient, so

@@ -274,6 +274,185 @@ def test_wgan_step_trains(tiny_config):
     assert hist[-1]["real_logits"] > hist[-1]["fake_logits"]
 
 
+def test_gradient_penalty_linear_d():
+    """For D(x) = <w, x> the gradient at ANY point (so any interpolate,
+    any eps) is w, hence GP = (||w|| - 1)^2 exactly."""
+    from locate_tpu.objectives.losses import gradient_penalty
+
+    w = jnp.asarray(np.random.RandomState(0).randn(4, 4, 3).astype(np.float32))
+
+    def d_apply(params, x, labels=None):
+        return jnp.sum(x * params, axis=(1, 2, 3))
+
+    rs = np.random.RandomState(1)
+    real = jnp.asarray(rs.randn(3, 4, 4, 3).astype(np.float32))
+    fake = jnp.asarray(rs.randn(3, 4, 4, 3).astype(np.float32))
+    eps = jnp.asarray(rs.rand(3, 1, 1, 1).astype(np.float32))
+    pen = float(gradient_penalty(d_apply, w, real, fake, eps))
+    expect = (float(jnp.linalg.norm(w)) - 1.0) ** 2
+    np.testing.assert_allclose(pen, expect, rtol=1e-5)
+
+
+def test_gradient_penalty_golden_torch():
+    """GP (value AND its d_params gradient — the part that trains) vs
+    torch autograd's create_graph=True double backward on an identical
+    tiny nonlinear critic."""
+    from locate_tpu.objectives.losses import gradient_penalty
+
+    rs = np.random.RandomState(0)
+    w = rs.randn(4 * 4 * 3, 8).astype(np.float32)
+    v = rs.randn(8).astype(np.float32)
+    real = rs.randn(5, 4, 4, 3).astype(np.float32)
+    fake = rs.randn(5, 4, 4, 3).astype(np.float32)
+    eps = rs.rand(5, 1, 1, 1).astype(np.float32)
+
+    def d_apply(params, x, labels=None):
+        h = jnp.tanh(x.reshape(x.shape[0], -1) @ params["w"])
+        return h @ params["v"]
+
+    params = {"w": jnp.asarray(w), "v": jnp.asarray(v)}
+
+    def pen_fn(p):
+        return gradient_penalty(
+            d_apply, p, jnp.asarray(real), jnp.asarray(fake),
+            jnp.asarray(eps)
+        )
+
+    pen, grads = jax.value_and_grad(pen_fn)(params)
+
+    wt = torch.from_numpy(w.copy()).requires_grad_(True)
+    vt = torch.from_numpy(v.copy()).requires_grad_(True)
+    x_hat = (
+        torch.from_numpy(eps) * torch.from_numpy(real)
+        + (1 - torch.from_numpy(eps)) * torch.from_numpy(fake)
+    ).requires_grad_(True)
+    score = (torch.tanh(x_hat.reshape(5, -1) @ wt) @ vt).sum()
+    (gx,) = torch.autograd.grad(score, x_hat, create_graph=True)
+    norms = torch.sqrt(gx.pow(2).sum(dim=(1, 2, 3)) + 1e-12)
+    pen_t = ((norms - 1.0) ** 2).mean()
+    pen_t.backward()
+    np.testing.assert_allclose(float(pen), float(pen_t.detach()), rtol=1e-5)
+    np.testing.assert_allclose(  # fp32 double-backward noise: ~5e-6 abs
+        np.asarray(grads["w"]), wt.grad.numpy(), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["v"]), vt.grad.numpy(), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_wgan_gp_step_trains(tiny_config):
+    """The classic WGAN-GP recipe (train.loss=wgan train.gp_gamma=10):
+    finite steps, gp metric present and driven, critic separates."""
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, loss="wgan", gp_gamma=10.0
+        ),
+    )
+    _, hist = run_steps(cfg)
+    assert all(np.isfinite(list(h.values())).all() for h in hist)
+    # a fresh-init critic is far from unit-gradient, so the penalty is
+    # strictly positive (6 Adam steps at 2e-4 are NOT enough to assert a
+    # monotone decrease — only that the term exists and is live)
+    assert hist[0]["gp"] > 0.0
+    assert hist[-1]["real_logits"] > hist[-1]["fake_logits"]
+
+
+def test_path_lengths_linear_g():
+    """For G(z) = reshape(z @ W), J^T y = (flat y) @ W^T exactly — the
+    vjp-based lengths must match the closed form."""
+    from locate_tpu.objectives.losses import path_lengths
+
+    rs = np.random.RandomState(0)
+    latent, h, w, c = 6, 4, 4, 3
+    W = rs.randn(latent, h * w * c).astype(np.float32)
+    z = rs.randn(5, latent).astype(np.float32)
+
+    def g_apply(params, zz, labels=None):
+        return (zz @ params).reshape(zz.shape[0], h, w, c)
+
+    key = jax.random.PRNGKey(3)
+    lengths = np.asarray(
+        path_lengths(g_apply, jnp.asarray(W), jnp.asarray(z), None, key)
+    )
+    y = np.asarray(
+        jax.random.normal(key, (5, h, w, c), jnp.float32)
+    ) / np.sqrt(h * w)
+    jt_y = y.reshape(5, -1) @ W.T
+    np.testing.assert_allclose(
+        lengths, np.sqrt((jt_y**2).sum(-1) + 1e-12), rtol=1e-5
+    )
+
+
+def test_path_length_reg_golden_torch():
+    """d/dparams of mean((||J^T y|| - b)^2) for a tanh MLP generator vs
+    torch's create_graph double backward (the trainable part of PL reg)."""
+    from locate_tpu.objectives.losses import path_lengths
+
+    rs = np.random.RandomState(1)
+    latent, h, w, c = 4, 2, 2, 3
+    W = rs.randn(latent, h * w * c).astype(np.float32)
+    z = rs.randn(3, latent).astype(np.float32)
+    b = 0.7
+
+    def g_apply(params, zz, labels=None):
+        return jnp.tanh(zz @ params).reshape(zz.shape[0], h, w, c)
+
+    key = jax.random.PRNGKey(5)
+    y = np.asarray(jax.random.normal(key, (3, h, w, c), jnp.float32))
+    y = y / np.sqrt(h * w)
+
+    def pen_fn(p):
+        lengths = path_lengths(g_apply, p, jnp.asarray(z), None, key)
+        return jnp.mean((lengths - b) ** 2)
+
+    pen, grad = jax.value_and_grad(pen_fn)(jnp.asarray(W))
+
+    Wt = torch.from_numpy(W.copy()).requires_grad_(True)
+    zt = torch.from_numpy(z.copy()).requires_grad_(True)
+    out = torch.tanh(zt @ Wt).reshape(3, -1)
+    yt = torch.from_numpy(y.reshape(3, -1).copy())
+    (jt_y,) = torch.autograd.grad(
+        (out * yt).sum(), zt, create_graph=True
+    )
+    lengths_t = torch.sqrt(jt_y.pow(2).sum(-1) + 1e-12)
+    pen_t = ((lengths_t - b) ** 2).mean()
+    pen_t.backward()
+    np.testing.assert_allclose(float(pen), float(pen_t.detach()), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grad), Wt.grad.numpy(), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_pl_reg_step_trains(tiny_config):
+    """train.pl_gamma: lazy PL reg fires on pl_interval steps, pl_mean
+    enters TrainState and moves, non-firing steps leave it unchanged."""
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, pl_gamma=2.0, pl_interval=2
+        ),
+    )
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    assert state.pl_mean is not None and float(state.pl_mean) == 0.0
+    step = jax.jit(make_train_step(cfg, gan))
+    batch = make_batch(cfg, jax.random.PRNGKey(1))
+    hist, means = [], []
+    for _ in range(4):
+        state, m = step(state, batch)
+        hist.append({k: float(v) for k, v in m.items()})
+        means.append(float(state.pl_mean))
+    assert all(np.isfinite(list(h.values())).all() for h in hist)
+    # fires at steps 0 and 2 (step % 2 == 0): pl_mean moves there and is
+    # carried unchanged on steps 1 and 3
+    assert means[0] > 0.0
+    assert means[1] == means[0]
+    assert means[2] != means[1]
+    assert means[3] == means[2]
+    assert hist[1]["pl"] == 0.0  # lazy: no penalty off-interval
+
+
 def test_clip_grad_norm(tiny_config):
     """d_opt.clip_grad_norm: the observed post-clip update direction obeys
     the cap — pinned by comparing one step against manually clipped optax
