@@ -137,7 +137,10 @@ class ModelConfig:
 class DataConfig:
     """Host input pipeline (SURVEY.md §4.5)."""
 
-    dataset: str = "synthetic"  # {"synthetic", "folder", "cifar10", "packed"}
+    # {"synthetic", "folder", "cifar10", "packed", "tfrecord"}
+    # ("tfrecord" reads StyleGAN-convention or TF-slim shards without a
+    # TensorFlow import — data/tfrecords.py; `pack` it once for training)
+    dataset: str = "synthetic"
     path: str = ""
     resolution: int = 32
     img_channels: int = 3

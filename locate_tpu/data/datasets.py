@@ -250,6 +250,10 @@ def make_dataset(cfg) -> object:
             return SyntheticImages(32, 3, num_classes=cfg.num_classes or 10)
     if cfg.dataset == "folder":
         return ImageFolder(cfg.path, cfg.resolution, cfg.img_channels)
+    if cfg.dataset == "tfrecord":
+        from locate_tpu.data.tfrecords import TFRecordImages
+
+        return TFRecordImages(cfg.path, cfg.resolution, cfg.img_channels)
     if cfg.dataset == "packed":
         from locate_tpu.data.packed import PackedDataset
 
