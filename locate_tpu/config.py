@@ -215,6 +215,11 @@ class TrainConfig:
     # grad-of-grad cost (higher variance; the penalty is a regularizer,
     # not a loss, so variance is cheap). 1.0 = full batch.
     r1_batch_fraction: float = 1.0
+    # Feature-matching loss on G (arXiv 1606.03498 §3.1): weight for
+    # ||E[feats(real)] - E[feats(fake)]||^2 over the discriminator's
+    # pooled pre-head features. A classic anti-mode-collapse auxiliary;
+    # 0 disables.
+    feature_matching: float = 0.0
     # Path-length regularization on G (StyleGAN2, arXiv 1912.04958 §B):
     # keeps ||J_z^T y|| concentrated around its running mean so latent
     # steps move images by consistent amounts. Lazy (every pl_interval

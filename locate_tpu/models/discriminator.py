@@ -83,7 +83,7 @@ def build_discriminator(
             )
         return params
 
-    def apply(params, x, labels=None):
+    def apply(params, x, labels=None, return_features=False):
         if cfg.spectral_norm:
             # Stateless SN (ops/spectral.py): pure params transform, so the
             # fused Pallas stage path below consumes normalized weights
@@ -102,6 +102,11 @@ def build_discriminator(
                 raise ValueError("class-conditional discriminator needs labels")
             proj = params["class_proj"].astype(jnp.float32)[labels]
             logit = logit + jnp.sum(proj * feats.astype(jnp.float32), axis=-1)
+        if return_features:
+            # pooled pre-head features (N, chans[0]) — the feature-matching
+            # loss target (arXiv 1606.03498 §3.1) and a cheap built-in
+            # perceptual embedding
+            return logit, feats
         return logit
 
     return Discriminator(config=cfg, init=init, apply=apply)

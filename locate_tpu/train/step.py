@@ -262,6 +262,32 @@ def make_train_step(
         term = pen * (tcfg.pl_gamma * tcfg.pl_interval)
         return term, {"pl": term, "pl_len": m1g, "pl_mean": base}
 
+    def fm_term(d_params_used, fake, fake_labels, real, labels):
+        """Feature-matching loss for G (arXiv 1606.03498 §3.1):
+        ||E[feats(real)] - E[feats(fake)]||^2 over D's pooled pre-head
+        features. The fake-side forward is HLO-identical to the main G
+        loss's D(fake) so XLA CSE computes it once; the real side costs
+        one extra D forward on FM-enabled runs only. Means are pmean'd
+        (global-batch statistics); the term is scaled by axis_size under
+        shard_map because the loss is NONLINEAR in the pmean'd means —
+        per-replica grads each see only a 1/axis_size slice of dM/dtheta
+        and the later grad-pmean divides by axis_size again (the per-
+        sample-decomposable main loss doesn't have this problem)."""
+        if tcfg.feature_matching <= 0.0:
+            return jnp.zeros((), jnp.float32), {}
+        _, f_fake = gan.discriminator.apply(
+            d_params_used, fake, fake_labels, return_features=True
+        )
+        _, f_real = gan.discriminator.apply(
+            d_params_used, real, labels, return_features=True
+        )
+        m_fake = pmean(jnp.mean(f_fake.astype(jnp.float32), axis=0))
+        m_real = jax.lax.stop_gradient(
+            pmean(jnp.mean(f_real.astype(jnp.float32), axis=0))
+        )
+        fm = jnp.mean((m_real - m_fake) ** 2)
+        return fm * (tcfg.feature_matching * axis_size), {"fm": fm}
+
     def d_update(state, d_grads):
         d_grads = pmean(d_grads)
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
@@ -404,7 +430,9 @@ def make_train_step(
             )
             reg, g_aux = g_reg(g_params, z_g, fake_labels_g, state.step,
                                rng, state.pl_mean)
-            return loss + reg, g_aux
+            fm, fm_aux = fm_term(d_params, fake, fake_labels_g, real_in,
+                                 labels)
+            return loss + reg + fm, {**g_aux, **fm_aux}
 
         (g_loss, g_aux), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
@@ -451,7 +479,9 @@ def make_train_step(
             )
             reg, g_aux = g_reg(g_params, z, fake_labels, state.step,
                                rng, state.pl_mean)
-            return loss + reg, g_aux
+            fm, fm_aux = fm_term(state.d_params, fake, fake_labels,
+                                 real_in, labels)
+            return loss + reg + fm, {**g_aux, **fm_aux}
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params

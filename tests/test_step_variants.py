@@ -358,6 +358,81 @@ def test_wgan_gp_step_trains(tiny_config):
     assert hist[-1]["real_logits"] > hist[-1]["fake_logits"]
 
 
+def test_feature_matching_golden_torch(tiny_config):
+    """D's return_features output and the FM loss (value + G-side grad
+    path via feats(fake)) vs the torch twin."""
+    import torch_twin as tw
+    from locate_tpu.models.discriminator import build_discriminator
+
+    cfg = tiny_config.model
+    disc = build_discriminator(cfg)
+    params = disc.init(jax.random.PRNGKey(0))
+    real = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3),
+                           minval=-1.0, maxval=1.0), np.float32
+    )
+    fake = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(2), (4, 16, 16, 3),
+                           minval=-1.0, maxval=1.0), np.float32
+    )
+
+    def fm(p):
+        _, f_fake = disc.apply(p, jnp.asarray(fake), None,
+                               return_features=True)
+        _, f_real = disc.apply(p, jnp.asarray(real), None,
+                               return_features=True)
+        f_real = jax.lax.stop_gradient(f_real)
+        return jnp.mean(
+            (jnp.mean(f_real, 0) - jnp.mean(f_fake, 0)) ** 2
+        )
+
+    val = float(fm(params))
+
+    tp = tw.to_torch_params(jax.tree.map(np.asarray, params))
+    _, tf_fake = tw.discriminator_forward(
+        tp, cfg, tw.t(fake), return_features=True
+    )
+    _, tf_real = tw.discriminator_forward(
+        tp, cfg, tw.t(real), return_features=True
+    )
+    val_t = ((tf_real.detach().mean(0) - tf_fake.mean(0)) ** 2).mean()
+    np.testing.assert_allclose(val, float(val_t.detach()), rtol=2e-4,
+                               atol=1e-6)
+
+
+def test_feature_matching_step_trains(tiny_config):
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, feature_matching=1.0),
+    )
+    _, hist = run_steps(cfg)
+    assert all(np.isfinite(list(h.values())).all() for h in hist)
+    assert hist[0]["fm"] > 0.0
+    cfg_off = tiny_config
+    _, hist_off = run_steps(cfg_off)
+    assert hist[-1]["g_loss"] != hist_off[-1]["g_loss"]
+
+
+def test_feature_matching_dp_matches_single_device(tiny_config):
+    """FM's pmean'd global-batch feature means: 8-device GSPMD trajectory
+    == single device (the scaling comment in fm_term is load-bearing)."""
+    from locate_tpu.config import ParallelConfig
+    from locate_tpu.parallel.mesh import make_mesh, single_device_mesh
+    from test_parallel import run_steps as run_mesh_steps
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(tiny_config.train, feature_matching=1.0),
+        parallel=ParallelConfig(),
+    )
+    _, h1 = run_mesh_steps(cfg, single_device_mesh(cfg.parallel), n_steps=2)
+    _, h8 = run_mesh_steps(cfg, make_mesh(cfg.parallel), n_steps=2)
+    for a, b in zip(h1, h8):
+        for k in ("d_loss", "g_loss", "fm"):
+            np.testing.assert_allclose(a[k], b[k], rtol=5e-4, atol=5e-4,
+                                       err_msg=k)
+
+
 def test_path_lengths_linear_g():
     """For G(z) = reshape(z @ W), J^T y = (flat y) @ W^T exactly — the
     vjp-based lengths must match the closed form."""

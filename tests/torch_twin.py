@@ -131,7 +131,8 @@ def generator_forward(params, cfg: ModelConfig, z, labels=None):
     return x
 
 
-def discriminator_forward(params, cfg: ModelConfig, x, labels=None):
+def discriminator_forward(params, cfg: ModelConfig, x, labels=None,
+                          return_features=False):
     chans = cfg.stage_channels()
     resolutions = cfg.stage_resolutions()
     n_stages = len(chans)
@@ -154,6 +155,8 @@ def discriminator_forward(params, cfg: ModelConfig, x, labels=None):
     if cfg.num_classes:
         proj = params["class_proj"][labels]
         logit = logit + (proj * feats).sum(dim=-1)
+    if return_features:
+        return logit, feats
     return logit
 
 
