@@ -215,6 +215,11 @@ class TrainConfig:
     # grad-of-grad cost (higher variance; the penalty is a regularizer,
     # not a loss, so variance is cheap). 1.0 = full batch.
     r1_batch_fraction: float = 1.0
+    # Keep a separate best-eval checkpoint: when the in-training eval
+    # (eval_every > 0) improves on the best rFID seen, snapshot the state
+    # to <workdir>/checkpoints_best (keep=1) with the score in best.json
+    # (consulted on resume so a restart can't demote the incumbent).
+    keep_best: bool = True
     # Feature-matching loss on G (arXiv 1606.03498 §3.1): weight for
     # ||E[feats(real)] - E[feats(fake)]||^2 over the discriminator's
     # pooled pre-head features. A classic anti-mode-collapse auxiliary;

@@ -100,6 +100,19 @@ def train(
         metrics = {}
         eval_extractor = None
         eval_cache: dict = {}
+        best_ckpt = None
+        best_path = os.path.join(cfg.workdir, "best.json")
+        best_fid = float("inf")
+        if cfg.train.keep_best and cfg.train.eval_every:
+            best_ckpt = CheckpointManager(
+                os.path.join(cfg.workdir, "checkpoints_best"), keep=1,
+                async_save=False,
+            )
+            if resume and os.path.exists(best_path):
+                import json
+
+                with open(best_path) as f:
+                    best_fid = float(json.load(f)["fid"])
         start = int(state.step)
         try:
           # stride k: each dispatch advances k optimizer steps (config
@@ -170,6 +183,18 @@ def train(
                 )
                 if "on_eval" in hooks:
                     hooks["on_eval"](step_num, scores)
+                if best_ckpt is not None and scores["fid"] < best_fid:
+                    best_fid = float(scores["fid"])
+                    best_ckpt.save(state)
+                    best_ckpt.wait()
+                    if primary:
+                        import json
+
+                        with open(best_path, "w") as f:
+                            json.dump(
+                                {"fid": best_fid, "kid": float(scores["kid"]),
+                                 "step": step_num}, f,
+                            )
 
             if cfg.train.checkpoint_every and (
                 step_num % cfg.train.checkpoint_every == 0 or step_num == total_steps
@@ -180,4 +205,6 @@ def train(
             batches.close()
             logger.close()
             ckpt.close()
+            if best_ckpt is not None:
+                best_ckpt.close()
     return state
