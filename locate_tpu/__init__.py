@@ -37,8 +37,16 @@ from locate_tpu.nn.blocks import (
     to_rgb,
 )
 from locate_tpu.ops.attention import locate_attention
-from locate_tpu.objectives.losses import d_nonsat_loss, g_nonsat_loss, r1_penalty
+from locate_tpu.objectives.losses import (
+    d_nonsat_loss,
+    g_nonsat_loss,
+    gradient_penalty,
+    path_lengths,
+    r1_penalty,
+)
 from locate_tpu.objectives.ema import ema_init, ema_update
+from locate_tpu.ops.spectral import spectral_normalize, spectral_sigma
+from locate_tpu.io.projection import project
 from locate_tpu.train.state import TrainState, create_train_state
 from locate_tpu.train.step import make_train_step
 from locate_tpu.train.loop import train
@@ -63,7 +71,9 @@ __all__ = [
     "Discriminator", "build_discriminator",
     "conv_block", "generator_stage", "discriminator_stage", "to_rgb", "from_rgb",
     "locate_attention",
-    "d_nonsat_loss", "g_nonsat_loss", "r1_penalty", "ema_init", "ema_update",
+    "d_nonsat_loss", "g_nonsat_loss", "r1_penalty", "gradient_penalty",
+    "path_lengths", "spectral_normalize", "spectral_sigma", "project",
+    "ema_init", "ema_update",
     "TrainState", "create_train_state", "make_train_step", "train",
     "CheckpointManager", "generate_samples", "save_image_grid",
     "export_generator", "load_generator",
