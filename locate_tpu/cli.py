@@ -112,8 +112,16 @@ def cmd_sample(argv: List[str]) -> int:
         count = rows * grid_cols
     else:
         count = int(_str_flag(flags, "count", "64"))
+        label = _str_flag(flags, "label")  # conditional: one class only
+        labels = None
+        if label is not None:
+            import jax.numpy as jnp
+
+            if not cfg.model.num_classes:
+                raise SystemExit("--label needs model.num_classes > 0")
+            labels = jnp.full((count,), int(label))
         imgs = generate_samples(
-            gan, g_params, key, count,
+            gan, g_params, key, count, labels=labels,
             truncation=float(_str_flag(flags, "truncation", "0.0")),
         )
     out = _str_flag(flags, "out") or f"{cfg.workdir}/samples/cli_step_{int(state.step)}.png"
@@ -275,6 +283,10 @@ def cmd_eval(argv: List[str]) -> int:
                              (kNN manifold metrics, arXiv 1904.06991 /
                              2002.09797) at kNN size K (e.g. 5). Needs the
                              dataset (not available with --ref-stats).
+      --per-class            conditional models: also report FID/KID per
+                             class (fakes conditioned on each label vs the
+                             dataset's same-label examples) + worst/mean —
+                             aggregate FID hides class dropping.
     """
     import json
 
@@ -344,6 +356,27 @@ def cmd_eval(argv: List[str]) -> int:
             feats["real_features"] = arrays["real_features"]
         np.savez(features_out, **feats)
         result["features_out"] = features_out
+    if flags.get("per-class"):
+        # per-class FID surfaces class dropping that aggregate FID hides
+        if not cfg.model.num_classes:
+            raise SystemExit("--per-class needs a conditional model "
+                             "(model.num_classes > 0)")
+        if ref_stats_path:
+            raise SystemExit("--per-class needs the dataset, not --ref-stats")
+        ds = make_dataset(cfg.data)
+        n_per = int(_str_flag(flags, "samples", "1024"))
+        per = {}
+        for cls in range(cfg.model.num_classes):
+            r = evaluate_generator(
+                gan, g_params, ds, n_samples=n_per, extractor=extractor,
+                label=cls,
+            )
+            per[cls] = {"fid": r["fid"], "kid": r["kid"],
+                        "n_real": r["n_real"]}
+        result["per_class"] = per
+        fids = [v["fid"] for v in per.values()]
+        result["per_class_fid_worst"] = max(fids)
+        result["per_class_fid_mean"] = float(np.mean(fids))
     result["step"] = int(state.step)
     print(json.dumps(result))
     mgr.close()

@@ -51,6 +51,13 @@ class SyntheticImages:
     def __len__(self) -> int:
         return self.length
 
+    @property
+    def labels(self) -> np.ndarray:
+        """Per-index labels (index % num_classes), exposed for per-class
+        eval's real-side filtering."""
+        base = np.arange(self.length, dtype=np.int32)
+        return base % self.num_classes if self.num_classes else base * 0
+
     def _render(self, indices: np.ndarray):
         """Vectorized renderer: (images_u8, labels_i32) for a batch of
         example indices. float32 throughout (matches the original

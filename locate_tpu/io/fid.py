@@ -313,6 +313,7 @@ def evaluate_generator(
     ref_stats: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     out: Optional[dict] = None,
     prdc_k: Optional[int] = None,
+    label: Optional[int] = None,
 ) -> dict:
     """Generate n_samples, extract features for both generated and real
     examples, return {"fid": ..., "kid": ...} (rFID/rKID with the default
@@ -334,7 +335,12 @@ def evaluate_generator(
 
     `prdc_k` adds precision/recall/density/coverage (see `prdc`) at that
     kNN size; needs per-sample real features, so it is unavailable (and
-    rejected) in ref_stats mode."""
+    rejected) in ref_stats mode.
+
+    `label` restricts BOTH sides to one class (per-class FID for
+    conditional models — aggregate FID hides class dropping): fakes are
+    generated with that label, reals are the dataset examples whose label
+    matches (the dataset must expose `.labels`)."""
     from locate_tpu.io.sampling import generate_samples
 
     extractor = extractor or RandomConvFeatures()
@@ -343,7 +349,8 @@ def evaluate_generator(
     for i in range(0, n_samples, batch):
         k = jax.random.fold_in(key, i)
         n = min(batch, n_samples - i)
-        imgs = generate_samples(gan, g_params, k, n)
+        labels = None if label is None else jnp.full((n,), label)
+        imgs = generate_samples(gan, g_params, k, n, labels=labels)
         fake_feats.append(extractor(imgs))
     fake = np.concatenate(fake_feats, axis=0)
     mu_f, s_f = feature_stats(fake)
@@ -372,11 +379,22 @@ def evaluate_generator(
     # recycled id could return features from a DIFFERENT extractor)
     ex_token = getattr(extractor, "cache_token", repr(extractor))
     ds_token = f"{type(dataset).__name__}:{len(dataset)}"
-    cache_key = ("real_features", ds_token, ex_token, seed, n_samples)
+    cache_key = ("real_features", ds_token, ex_token, seed, n_samples, label)
     real = cache.get(cache_key) if cache is not None else None
     if real is None:
         rng = np.random.default_rng(seed)
-        idx = rng.choice(len(dataset), min(n_samples, len(dataset)), replace=False)
+        pool = np.arange(len(dataset))
+        if label is not None:
+            ds_labels = getattr(dataset, "labels", None)
+            if ds_labels is None:
+                raise ValueError(
+                    "per-class eval needs a dataset with a .labels array "
+                    f"({type(dataset).__name__} has none)"
+                )
+            pool = pool[np.asarray(ds_labels) == label]
+            if len(pool) == 0:
+                raise ValueError(f"dataset has no examples of class {label}")
+        idx = rng.choice(pool, min(n_samples, len(pool)), replace=False)
         real_imgs = np.stack([dataset.example(int(i))[0] for i in idx])
         real = features_in_batches(real_imgs, extractor, batch)
         if cache is not None:

@@ -102,6 +102,51 @@ def test_evaluate_generator_end_to_end(tiny_config):
     assert result["fid"] > 1e-3
 
 
+def test_evaluate_generator_per_class(tiny_config):
+    """label= restricts both sides to one class: fakes conditioned on the
+    label, reals filtered by dataset.labels; missing .labels errors."""
+    import dataclasses
+
+    from locate_tpu.models.gan import build_gan
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        model=dataclasses.replace(tiny_config.model, num_classes=2,
+                                  class_embed_dim=4),
+    )
+    gan = build_gan(cfg)
+    params = gan.init(jax.random.PRNGKey(0))
+
+    class LabeledDs:
+        labels = np.asarray([0] * 20 + [1] * 44)
+
+        def __len__(self):
+            return 64
+
+        def example(self, i, rng=None):
+            # class 0 dark, class 1 bright: per-class stats differ hugely
+            v = 32 if self.labels[i] == 0 else 224
+            img = np.full((16, 16, 3), v, np.uint8)
+            img[0, 0, 0] = i  # break exact degeneracy
+            return img, int(self.labels[i])
+
+    ds = LabeledDs()
+    ex = RandomConvFeatures(seed=0, width=8)
+    r0 = evaluate_generator(gan, params["generator"], ds, n_samples=16,
+                            batch=16, extractor=ex, label=0)
+    r1 = evaluate_generator(gan, params["generator"], ds, n_samples=16,
+                            batch=16, extractor=ex, label=1)
+    assert r0["n_real"] == 16 and r1["n_real"] == 16
+    assert np.isfinite(r0["fid"]) and np.isfinite(r1["fid"])
+    assert r0["fid"] != r1["fid"]  # different real manifolds per class
+
+    with np.testing.assert_raises(ValueError):
+        evaluate_generator(
+            gan, params["generator"], SyntheticImages(16, 3, length=8),
+            n_samples=8, batch=8, extractor=ex, label=0,
+        )
+
+
 def test_stats_roundtrip(tmp_path):
     """save_stats/load_stats round-trip (pytorch-fid mu/sigma keys) and
     the not-a-stats-archive error path."""
