@@ -17,7 +17,16 @@ What this turns on (all config, no code):
     limited-data sets; D sees aug(x), p adapts online without recompile;
   * bf16 stochastically-rounded EMA shadow (`ema_dtype=bfloat16`) —
     halves the shadow's HBM, unbiased accumulation;
+  * in-training rFID eval every 2k steps with BEST-snapshot tracking
+    (`eval_every` + `train.keep_best`, round 3): deliverables come from
+    `<workdir>/checkpoints_best`, because GAN runs end worse than they
+    peak;
   * DP over every available chip (preset `parallel` default).
+
+Round-3 stability knobs to reach for when a run misbehaves (see
+docs/GUIDE.md "Stability"): `model.spectral_norm=true`,
+`train.feature_matching=1`, `train.pl_gamma=2`, or the classic
+`train.loss=wgan train.gp_gamma=10`.
 """
 
 import sys
@@ -37,6 +46,7 @@ def main() -> None:
         "train.ada_target": "0.6",
         "train.ema_dtype": "bfloat16",
         "train.async_checkpoint": "true",
+        "train.eval_every": "2000",
     }
     if packed_dir:
         overrides["data.path"] = packed_dir
