@@ -140,9 +140,16 @@ def test_evaluate_generator_per_class(tiny_config):
     assert np.isfinite(r0["fid"]) and np.isfinite(r1["fid"])
     assert r0["fid"] != r1["fid"]  # different real manifolds per class
 
+    class NoLabelsDs:  # SyntheticImages grew .labels; error path needs a bare ds
+        def __len__(self):
+            return 8
+
+        def example(self, i, rng=None):
+            return np.zeros((16, 16, 3), np.uint8), 0
+
     with np.testing.assert_raises(ValueError):
         evaluate_generator(
-            gan, params["generator"], SyntheticImages(16, 3, length=8),
+            gan, params["generator"], NoLabelsDs(),
             n_samples=8, batch=8, extractor=ex, label=0,
         )
 
