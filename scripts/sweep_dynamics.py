@@ -51,6 +51,14 @@ ARMS = {
     # drift penalty (ProGAN): targets the observed D-saturation failure
     "lp": {"train.r1_gamma": "0.0", "train.logit_penalty": "1e-3"},
     "r1_01_lp": {"train.r1_gamma": "0.1", "train.logit_penalty": "1e-3"},
+    # round-3 session-C regularizers (all default-off; arms check they
+    # train stably and how they move rFID vs base)
+    "sn": {"train.r1_gamma": "0.0", "model.spectral_norm": "true"},
+    "fm": {"train.r1_gamma": "0.0", "train.feature_matching": "1.0"},
+    "pl": {"train.r1_gamma": "0.0", "train.pl_gamma": "2.0"},
+    "wgan_gp": {"train.r1_gamma": "0.0", "train.loss": "wgan",
+                "train.gp_gamma": "10.0"},
+    "r1_01_sn": {"train.r1_gamma": "0.1", "model.spectral_norm": "true"},
 }
 
 
@@ -92,8 +100,17 @@ def run_arm(name: str, overrides: dict, steps: int, eval_every: int) -> dict:
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    arms = sys.argv[2:] or list(ARMS)
+    args = sys.argv[1:]
+    small = "--small" in args  # 32^2 b16 fp32 CPU quick screen
+    if small:
+        args.remove("--small")
+        # Force the CPU backend (the JAX_PLATFORMS env var is ignored by
+        # the axon sitecustomize — docs/STATUS.md "Environment facts");
+        # must run before any device use.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    steps = int(args[0]) if args else 5000
+    arms = args[1:] or list(ARMS)
     eval_every = max(250, steps // 10)
     for name in arms:
         # "arm@seedK" runs the arm with train.seed=K (multi-seed spread:
@@ -102,6 +119,12 @@ def main():
         overrides = dict(ARMS[base])
         if seed:
             overrides["train.seed"] = seed
+        if small:
+            overrides.update({
+                "model.resolution": "32", "data.resolution": "32",
+                "train.global_batch": "16",
+                "train.compute_dtype": "float32",  # CPU: bf16 is emulated
+            })
         result = run_arm(name, overrides, steps, eval_every)
         print(json.dumps(result), flush=True)
 
