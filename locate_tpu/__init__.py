@@ -45,6 +45,7 @@ from locate_tpu.objectives.losses import (
     r1_penalty,
 )
 from locate_tpu.objectives.ema import ema_init, ema_update
+from locate_tpu.ops.norm import minibatch_stddev
 from locate_tpu.ops.spectral import spectral_normalize, spectral_sigma
 from locate_tpu.io.projection import project
 from locate_tpu.train.state import TrainState, create_train_state
@@ -73,6 +74,7 @@ __all__ = [
     "locate_attention",
     "d_nonsat_loss", "g_nonsat_loss", "r1_penalty", "gradient_penalty",
     "path_lengths", "spectral_normalize", "spectral_sigma", "project",
+    "minibatch_stddev",
     "ema_init", "ema_update",
     "TrainState", "create_train_state", "make_train_step", "train",
     "CheckpointManager", "generate_samples", "save_image_grid",

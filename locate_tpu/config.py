@@ -91,6 +91,13 @@ class ModelConfig:
     # (ops/spectral.py) — no pytree/optimizer/checkpoint change.
     spectral_norm: bool = False
     sn_iters: int = 9
+    # Minibatch standard deviation (ProGAN arXiv 1710.10196 §3): append the
+    # per-group batch-diversity statistic to the discriminator's pooled
+    # features ahead of the logit head (ops/norm.py:minibatch_stddev).
+    # Groups of this many consecutive batch examples; MUST divide the
+    # per-replica batch (groups never straddle replicas, keeping
+    # shard_map == GSPMD == single-device). 0 disables (default).
+    mbstd_group: int = 0
 
     def __post_init__(self):
         r = self.resolution

@@ -66,7 +66,12 @@ def build_discriminator(
         make_act(cfg.act, cfg.leaky_slope),
         global_avg_pool(),
     )
-    head = dense(chans[0], 1, compute_dtype=compute_dtype)
+    # Minibatch stddev (cfg.mbstd_group): the (N, 1) batch-diversity scalar
+    # joins the pooled features at the logit head only — `feats` itself
+    # stays per-sample so the projection head and the feature-matching /
+    # return_features consumers keep per-example semantics.
+    head = dense(chans[0] + (1 if cfg.mbstd_group else 0), 1,
+                 compute_dtype=compute_dtype)
 
     def init(key):
         k_stem, k_trunk, k_neck, k_head, k_embed = jax.random.split(key, 5)
@@ -96,7 +101,16 @@ def build_discriminator(
         h = stem.apply(params["stem"], x.astype(cd))
         h = trunk.apply(params["trunk"], h)
         feats = neck.apply(params["neck"], h)  # (N, chans[0])
-        logit = head.apply(params["head"], feats)[:, 0].astype(jnp.float32)
+        head_in = feats
+        if cfg.mbstd_group:
+            from locate_tpu.ops.norm import minibatch_stddev
+
+            # Stddev over the trunk's 4x4 output (the classic pre-head
+            # placement), appended post-pool: the map is batch-constant
+            # per group, so pooling it is the identity.
+            mb = minibatch_stddev(h, cfg.mbstd_group)
+            head_in = jnp.concatenate([feats, mb.astype(feats.dtype)], axis=-1)
+        logit = head.apply(params["head"], head_in)[:, 0].astype(jnp.float32)
         if cfg.num_classes:
             if labels is None:
                 raise ValueError("class-conditional discriminator needs labels")

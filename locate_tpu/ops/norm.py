@@ -65,6 +65,41 @@ def pixel_norm(eps: float = 1e-8, compute_dtype: Optional[jnp.dtype] = None) -> 
     return Layer(init=lambda key: (), apply=apply)
 
 
+def minibatch_stddev(x: jax.Array, group_size: int,
+                     eps: float = 1e-8) -> jax.Array:
+    """Minibatch standard deviation (ProGAN arXiv 1710.10196 §3 / StyleGAN2):
+    per group of `group_size` consecutive batch examples, the stddev of every
+    (spatial, channel) activation across the group, averaged into ONE scalar
+    per group and broadcast back to its members. Returns (N, 1) float32.
+
+    The one batch-coupled statistic this framework ships (every norm is
+    per-sample by design — see module docstring): it hands the discriminator
+    a direct measure of sample diversity, the classic mode-collapse
+    counterweight. SURVEY.md's reference has no analogue (beyond-reference
+    capability, PARITY.md).
+
+    Sharding semantics: groups are consecutive GLOBAL batch indices. Under
+    GSPMD the global program is the definition; under the explicit
+    shard_map backend each replica sees a contiguous batch shard, so local
+    computation equals the global one exactly when `group_size` divides the
+    per-replica batch (validated by the trace-time check below — shapes are
+    static). Groups never straddle replicas, so no collective is needed and
+    DP == single-device holds bitwise in fp32.
+    """
+    n = x.shape[0]
+    g = min(group_size, n)
+    if n % g:
+        raise ValueError(
+            f"minibatch_stddev: batch {n} not divisible by group {g} "
+            "(pick mbstd_group dividing the per-replica batch)"
+        )
+    y = x.astype(jnp.float32).reshape(n // g, g, -1)
+    # Biased (1/g) variance, as in the ProGAN/StyleGAN implementations.
+    sd = jnp.sqrt(y.var(axis=1) + eps)        # (n//g, H*W*C)
+    s = sd.mean(axis=1)                       # (n//g,)
+    return jnp.repeat(s, g)[:, None]          # (N, 1)
+
+
 def make_norm(kind: str, channels: int, groups: int = 8,
               compute_dtype: Optional[jnp.dtype] = None) -> Layer:
     if kind == "group":

@@ -148,10 +148,19 @@ def discriminator_forward(params, cfg: ModelConfig, x, labels=None,
             li += 1
         if i != 0:
             h = downsample(h)
+    trunk_out = h
     h = group_norm(params["neck"][0], h, cfg.group_norm_groups)
     h = act(h, cfg)
     feats = h.mean(dim=(1, 2))
-    logit = (feats @ params["head"]["w"] + params["head"]["b"])[:, 0]
+    head_in = feats
+    if cfg.mbstd_group:
+        n = trunk_out.shape[0]
+        g = min(cfg.mbstd_group, n)
+        y = trunk_out.reshape(n // g, g, -1)
+        sd = torch.sqrt(y.var(dim=1, unbiased=False) + 1e-8)
+        mb = sd.mean(dim=1).repeat_interleave(g)[:, None]
+        head_in = torch.cat([feats, mb], dim=-1)
+    logit = (head_in @ params["head"]["w"] + params["head"]["b"])[:, 0]
     if cfg.num_classes:
         proj = params["class_proj"][labels]
         logit = logit + (proj * feats).sum(dim=-1)
