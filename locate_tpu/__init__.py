@@ -53,7 +53,13 @@ from locate_tpu.train.step import make_train_step
 from locate_tpu.train.loop import train
 from locate_tpu.io.checkpoint import CheckpointManager
 from locate_tpu.io.export import export_generator, load_generator
-from locate_tpu.io.fid import evaluate_generator, frechet_distance, kid, prdc
+from locate_tpu.io.fid import (
+    evaluate_generator,
+    frechet_distance,
+    inception_score,
+    kid,
+    prdc,
+)
 from locate_tpu.io.sampling import (
     generate_samples,
     interpolation_grid,
@@ -80,5 +86,6 @@ __all__ = [
     "CheckpointManager", "generate_samples", "save_image_grid",
     "export_generator", "load_generator",
     "evaluate_generator", "frechet_distance", "kid", "prdc",
+    "inception_score",
     "interpolation_grid", "slerp", "make_mesh", "make_step_for",
 ]

@@ -287,6 +287,11 @@ def cmd_eval(argv: List[str]) -> int:
                              class (fakes conditioned on each label vs the
                              dataset's same-label examples) + worst/mean —
                              aggregate FID hides class dropping.
+      --inception-score[=S]  also report Inception Score (is_mean/is_std,
+                             S splits, default 10; arXiv 1606.03498 §4).
+                             Needs an --extractor .npz that includes the
+                             fc head (convert_inception.py ships it);
+                             works with --ref-stats too (IS is fake-only).
     """
     import json
 
@@ -341,6 +346,10 @@ def cmd_eval(argv: List[str]) -> int:
             int(_str_flag(flags, "prdc-k")) if _str_flag(flags, "prdc-k")
             else None
         ),
+        is_splits=(
+            10 if flags.get("inception-score") is True
+            else int(flags["inception-score"])
+        ) if flags.get("inception-score") else None,
     )
     if stats_out:
         save_stats(stats_out, arrays["fake_mu"], arrays["fake_sigma"],

@@ -122,6 +122,26 @@ def kid(features_a: np.ndarray, features_b: np.ndarray, subset_size: int = 512,
     return float(np.mean(vals))
 
 
+def inception_score(logits: np.ndarray, splits: int = 10) -> Tuple[float, float]:
+    """Inception Score (Salimans et al., arXiv 1606.03498 §4) from class
+    logits: IS = exp(E_x KL(p(y|x) || p(y))), computed per split with p(y)
+    the split's marginal (the original protocol; splits=10 is standard).
+    Returns (mean, std) over splits. Higher is better; 1 <= IS <= n_classes.
+    """
+    z = np.asarray(logits, np.float64)
+    if z.ndim != 2 or len(z) < splits:
+        raise ValueError(f"need (N>= {splits}, n_classes) logits, got {z.shape}")
+    z = z - z.max(axis=1, keepdims=True)  # stable softmax
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    scores = []
+    for chunk in np.array_split(p, splits):
+        marginal = chunk.mean(axis=0, keepdims=True)
+        kl = (chunk * (np.log(chunk + 1e-16) - np.log(marginal + 1e-16))).sum(1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
 def _pairwise_dist(a: np.ndarray, b: np.ndarray, batch: int = 4096) -> np.ndarray:
     """Euclidean distance matrix [len(a), len(b)] in float64, row-batched so
     eval-sized sets (tens of k) never materialize more than batch*len(b)."""
@@ -270,6 +290,7 @@ class NpzFeatureExtractor:
             self._inner = InceptionExtractor(path)
             self._call = self._inner
             self._token = self._inner.cache_token
+            self.fc = self._inner.fc  # classifier head (Inception Score)
             return
         ws = [jnp.asarray(data[f"w{i}"]) for i in range(len(data.files))]
 
@@ -314,6 +335,7 @@ def evaluate_generator(
     out: Optional[dict] = None,
     prdc_k: Optional[int] = None,
     label: Optional[int] = None,
+    is_splits: Optional[int] = None,
 ) -> dict:
     """Generate n_samples, extract features for both generated and real
     examples, return {"fid": ..., "kid": ...} (rFID/rKID with the default
@@ -340,7 +362,13 @@ def evaluate_generator(
     `label` restricts BOTH sides to one class (per-class FID for
     conditional models — aggregate FID hides class dropping): fakes are
     generated with that label, reals are the dataset examples whose label
-    matches (the dataset must expose `.labels`)."""
+    matches (the dataset must expose `.labels`).
+
+    `is_splits` adds Inception Score over the generated samples (is_mean/
+    is_std at that split count; 10 is standard). Needs an extractor whose
+    features are pool3 AND that exposes the classifier head as `.fc`
+    (InceptionExtractor with an fc-bearing .npz) — logits are then one
+    matmul on the fake features already in hand."""
     from locate_tpu.io.sampling import generate_samples
 
     extractor = extractor or RandomConvFeatures()
@@ -357,6 +385,19 @@ def evaluate_generator(
     if out is not None:
         out.update(fake_features=fake, fake_mu=mu_f, fake_sigma=s_f)
 
+    is_result = {}
+    if is_splits is not None:
+        fc = getattr(extractor, "fc", None)
+        if fc is None:
+            raise ValueError(
+                "Inception Score needs an extractor with a classifier head "
+                "(.fc) — pass an InceptionExtractor whose .npz includes "
+                "fc.w/fc.b (scripts/convert_inception.py ships it)"
+            )
+        w, b = fc
+        is_mean, is_std = inception_score(fake @ w + b, splits=is_splits)
+        is_result = {"is_mean": is_mean, "is_std": is_std}
+
     if ref_stats is not None:
         if prdc_k is not None:
             raise ValueError(
@@ -371,6 +412,7 @@ def evaluate_generator(
             "n_fake": len(fake),
             "n_real": None,
             "real_side": "ref_stats",
+            **is_result,  # IS is fake-side-only: available in stats mode
         }
 
     if dataset is None:
@@ -408,6 +450,7 @@ def evaluate_generator(
         "kid": kid(fake, real),
         "n_fake": len(fake),
         "n_real": len(real),
+        **is_result,
     }
     if prdc_k is not None:
         result.update(prdc(real, fake, k=prdc_k))

@@ -22,6 +22,12 @@ after scaling uint8 to [0,1] — ImageNet stats for torchvision weights,
 (0.5, 0.5) for the pt_inception FID weights — so the graph is faithful to
 whichever weights are vendored.
 
+Optionally ``fc.w`` (2048, n_classes) / ``fc.b`` (n_classes,) — the final
+classifier, enabling Inception Score (Salimans et al., arXiv 1606.03498
+§4): pool3 is the penultimate layer, so ``logits = pool3 @ fc.w + fc.b``
+and IS costs one extra matmul on features already computed for FID.
+Archives without fc still work for FID/KID (fc-requiring consumers raise).
+
 FID protocol (matching pytorch-fid): uint8 RGB -> [0,1] -> bilinear resize
 to 299x299 with half-pixel centers and NO antialias (exactly
 ``F.interpolate(mode='bilinear', align_corners=False)``) -> normalize ->
@@ -287,14 +293,23 @@ def pool3_features(params: Params, x: jax.Array,
     return x.mean(axis=(1, 2))  # adaptive avg pool -> 2048
 
 
+def logits_from_pool3(fc: Dict[str, jax.Array], feats) -> jax.Array:
+    """pool3 features (N, 2048) -> class logits (N, n_classes). `fc` is the
+    optional classifier head from the .npz (`fc.w`/`fc.b`)."""
+    return jnp.asarray(feats, jnp.float32) @ fc["w"] + fc["b"]
+
+
 # ---------------------------------------------------------------------------
 # parameters
 # ---------------------------------------------------------------------------
 
 
-def random_params(key: jax.Array, dtype=jnp.float32) -> Params:
+def random_params(key: jax.Array, dtype=jnp.float32,
+                  fc_classes: int = 0) -> Params:
     """Random BN-folded parameters with the exact layer shapes — for tests
-    (the torch-twin architecture check needs no pretrained weights)."""
+    (the torch-twin architecture check needs no pretrained weights).
+    `fc_classes > 0` adds a random classifier head (Inception Score path;
+    1008 for pt_inception, 1000 for torchvision)."""
     params: Params = {}
     for path, cin, cout, k, _, _ in conv_specs():
         key, k1, k2 = jax.random.split(key, 3)
@@ -302,6 +317,12 @@ def random_params(key: jax.Array, dtype=jnp.float32) -> Params:
         w = w * (2.0 / np.sqrt(k[0] * k[1] * cin))
         b = jax.random.normal(k2, (cout,), dtype) * 0.1
         params[path] = {"w": w, "b": b}
+    if fc_classes:
+        key, k1, k2 = jax.random.split(key, 3)
+        params["fc"] = {
+            "w": jax.random.normal(k1, (2048, fc_classes), dtype) / 45.0,
+            "b": jax.random.normal(k2, (fc_classes,), dtype) * 0.1,
+        }
     return params
 
 
@@ -320,6 +341,11 @@ def load_npz(path: str) -> Tuple[Params, np.ndarray, np.ndarray, str]:
         params[p] = {
             "w": jnp.asarray(data[f"{p}.w"]),
             "b": jnp.asarray(data[f"{p}.b"]),
+        }
+    if "fc.w" in data.files:  # optional classifier head (Inception Score)
+        params["fc"] = {
+            "w": jnp.asarray(data["fc.w"]),
+            "b": jnp.asarray(data["fc.b"]),
         }
     mean = np.asarray(data["input_mean"], np.float32)
     std = np.asarray(data["input_std"], np.float32)
@@ -356,6 +382,13 @@ class InceptionExtractor:
         self.path = path
         params, mean, std, variant = load_npz(path)
         self._fn = make_feature_fn(params, mean, std, variant)
+        # optional classifier head: (2048, n_classes), (n_classes,) numpy —
+        # evaluate_generator turns the pool3 features it already has into
+        # logits for Inception Score (None when the .npz ships no fc)
+        self.fc = (
+            (np.asarray(params["fc"]["w"]), np.asarray(params["fc"]["b"]))
+            if "fc" in params else None
+        )
 
     @property
     def cache_token(self) -> str:

@@ -78,6 +78,12 @@ def fold_state_dict(state_dict, variant: str = "torchvision") -> dict:
         w = w.transpose(2, 3, 1, 0) * scale  # OIHW -> HWIO, fold scale into O
         out[f"{path}.w"] = w.astype(np.float32)
         out[f"{path}.b"] = (beta - mean * scale).astype(np.float32)
+    # classifier head (optional in the schema; enables Inception Score):
+    # torchvision fc (1000 classes), pt_inception fc (1008). Stored as
+    # (2048, n_classes) so logits = pool3 @ fc.w + fc.b.
+    if "fc.weight" in state_dict:
+        out["fc.w"] = arr(state_dict["fc.weight"]).T.astype(np.float32)
+        out["fc.b"] = arr(state_dict["fc.bias"]).astype(np.float32)
     mean_in, std_in = INPUT_STATS[variant]
     out["format"] = np.asarray(FORMAT)
     out["variant"] = np.asarray(variant)

@@ -140,9 +140,12 @@ class InceptionE(nn.Module):
 class InceptionV3Pool3(nn.Module):
     """torchvision inception_v3 up to the 2048-d global-average pool."""
 
-    def __init__(self, variant: str = "torchvision"):
+    def __init__(self, variant: str = "torchvision", fc_classes: int = 0):
         super().__init__()
         fid = variant == "fid"
+        # optional classifier head (torchvision: 1000, pt_inception: 1008)
+        # — logits for Inception Score; forward still returns pool3
+        self.fc = nn.Linear(2048, fc_classes) if fc_classes else None
         self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
         self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
         self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
@@ -182,12 +185,13 @@ class InceptionV3Pool3(nn.Module):
         return x.mean(dim=(2, 3))  # (N, 2048)
 
 
-def random_twin(variant: str = "torchvision", seed: int = 0) -> InceptionV3Pool3:
+def random_twin(variant: str = "torchvision", seed: int = 0,
+                fc_classes: int = 0) -> InceptionV3Pool3:
     """Twin with random conv weights AND random (valid) BN statistics in
     eval mode, so the converter's folding of all four BN arrays is
     exercised."""
     torch.manual_seed(seed)
-    model = InceptionV3Pool3(variant)
+    model = InceptionV3Pool3(variant, fc_classes)
     with torch.no_grad():
         for m in model.modules():
             if isinstance(m, nn.Conv2d):
