@@ -196,6 +196,13 @@ class TrainConfig:
     # measured ~18% SLOWER at 128^2/batch-128 than recomputing. Off by
     # default (reference parity + speed).
     share_latents: bool = False
+    # Critic (discriminator) updates per generator update — the classic
+    # WGAN n_critic schedule (arXiv 1701.07875 uses 5). Each critic step
+    # consumes its OWN fresh real batch (the loop feeds d_steps batches
+    # per optimizer step) and fresh latents; the G step then runs through
+    # the d_steps-times-updated D. Alternating flavor only; the jitted
+    # step scans the critic updates on-device. 1 = reference behavior.
+    d_steps: int = 1
     # Optional LR schedule applied to both optimizers:
     # "constant" | "cosine" | "linear_warmup_cosine".
     lr_schedule: str = "constant"
@@ -322,6 +329,14 @@ class TrainConfig:
                 f"log_every={self.log_every} must be <= "
                 f"max_nonfinite_skips={self.max_nonfinite_skips} for the "
                 f"non-finite abort to fire on time"
+            )
+        if self.d_steps < 1:
+            raise ValueError(f"d_steps must be >= 1, got {self.d_steps}")
+        if self.d_steps > 1 and self.fused_step:
+            raise ValueError(
+                "d_steps > 1 needs the alternating step (fused_step=True "
+                "computes simultaneous gradients — a critic ratio is "
+                "meaningless there)"
             )
         k = self.steps_per_call
         if k < 1:

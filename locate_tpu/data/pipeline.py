@@ -241,11 +241,13 @@ def make_input_pipeline(
     process_count: Optional[int] = None,
     skip_batches: int = 0,
     steps_per_call: int = 1,
+    d_steps: int = 1,
 ) -> InputPipeline:
     """Dataset -> producer thread -> device prefetch, per-host sharded.
     `skip_batches` deterministically fast-forwards the stream for resume
-    (always counted in single optimizer-step batches, independent of
-    `steps_per_call` stacking)."""
+    (always counted in OPTIMIZER steps, independent of `steps_per_call`
+    stacking; with a critic ratio each optimizer step consumes `d_steps`
+    batches, which the fast-forward accounts for)."""
     from locate_tpu.data.datasets import make_dataset
 
     pi = jax.process_index() if process_index is None else process_index
@@ -255,28 +257,32 @@ def make_input_pipeline(
     dataset = make_dataset(data_cfg)
     per_host = global_batch // pc
     k = steps_per_call
-    # With steps_per_call the producer assembles one (k*per_host) batch
-    # per dispatch — identical example/flip order to k consecutive
-    # per_host batches (the epoch stream is consumed sequentially either
-    # way) — and the [k, per_host, ...] scan layout is a FREE reshape
-    # view, so all assembly/copy work stays on the producer thread
-    # (stack_batches on the consumer thread would re-copy k batches).
+    c = d_steps
+    # With steps_per_call / d_steps the producer assembles one
+    # (k*c*per_host) batch per dispatch — identical example/flip order to
+    # k*c consecutive per_host batches (the epoch stream is consumed
+    # sequentially either way) — and the [k][c](per_host, ...) scan layout
+    # is a FREE reshape view, so all assembly/copy work stays on the
+    # producer thread (stack_batches on the consumer thread would re-copy
+    # the batches).
     producer = BatchProducer(
         dataset,
-        per_host * k,
+        per_host * k * c,
         shard_index=pi,
         shard_count=pc,
         random_flip=data_cfg.random_flip,
         seed=seed,
         prefetch=data_cfg.prefetch,
-        skip_examples=skip_batches * per_host,
+        skip_examples=skip_batches * per_host * c,
     )
-    if k == 1:
+    # leading scan axes (omitted when 1): [k] steps_per_call, [c] d_steps
+    lead = tuple(d for d in (k, c) if d > 1)
+    if not lead:
         host_it = iter(producer)
     else:
         host_it = (
             {
-                key: v.reshape(k, per_host, *v.shape[1:])
+                key: v.reshape(*lead, per_host, *v.shape[1:])
                 for key, v in b.items()
             }
             for b in producer

@@ -175,17 +175,15 @@ def make_shardmap_train_step(
     # scan body are fine), batches carry a leading [k] axis.
     k = cfg.train.steps_per_call
     step_fn = make_multi_step(step_fn, k)
-    b_sharding = (
-        batch_sharding(mesh, pcfg.data_axis) if k <= 1
-        else NamedSharding(mesh, P(None, pcfg.data_axis))
-    )
+    # leading replicated scan axes: [k] (steps_per_call) and/or [d_steps]
+    lead = (1 if k > 1 else 0) + (1 if cfg.train.d_steps > 1 else 0)
+    batch_spec = P(*([None] * lead), pcfg.data_axis)
+    b_sharding = NamedSharding(mesh, batch_spec)
     rep = replicated(mesh)
 
     def shardings_for(state: TrainState) -> Any:
         # pure DP: everything replicated
         return jax.tree.map(lambda _: rep, state)
-
-    batch_spec = P(pcfg.data_axis) if k <= 1 else P(None, pcfg.data_axis)
 
     def jit_step(state: TrainState):
         s_shardings = shardings_for(state)
@@ -229,11 +227,12 @@ def make_sharded_train_step(
     )
     k = cfg.train.steps_per_call
     step_fn = make_multi_step(step_fn, k)
-    # With steps_per_call > 1 the input carries a leading [k] scan axis;
-    # the batch dim (sharded over `data`) moves to position 1.
+    # Leading scan axes ahead of the (data-sharded) batch dim: [k] from
+    # steps_per_call, [d_steps] from the critic ratio — both replicated.
+    lead = (1 if k > 1 else 0) + (1 if cfg.train.d_steps > 1 else 0)
     b_sharding = (
-        single_b if k <= 1
-        else NamedSharding(mesh, P(None, pcfg.data_axis))
+        single_b if lead == 0
+        else NamedSharding(mesh, P(*([None] * lead), pcfg.data_axis))
     )
     rep = replicated(mesh)
 

@@ -76,9 +76,12 @@ def train(
             sharding=batch_shard, seed=cfg.train.seed,
             skip_batches=int(state.step),  # resume replays the exact stream
             steps_per_call=k,
+            d_steps=cfg.train.d_steps,
         )
 
-        timer = StepTimer(cfg.train.global_batch * k)
+        # throughput counts REAL images consumed (with a critic ratio the
+        # discriminator sees d_steps fresh batches per optimizer step)
+        timer = StepTimer(cfg.train.global_batch * k * cfg.train.d_steps)
         # Run artifacts: only process 0 writes (multi-host processes share
         # the workdir; orbax coordinates its own writes, these don't).
         # metrics.jsonl appends when resuming and truncates on a fresh

@@ -302,9 +302,12 @@ def make_train_step(
         return inner.notfinite_count
 
     def finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
-               d_opt_state, g_loss, g_grads, n_local, g_aux=None):
-        """Shared tail of both step flavors: G update, EMA, ADA controller,
-        metrics, state."""
+               d_opt_state, g_loss, g_grads, n_local, g_aux=None,
+               d_grad_norm=None):
+        """Shared tail of all step flavors: G update, EMA, ADA controller,
+        metrics, state. `d_grad_norm` overrides the norm-of-d_grads metric
+        (the multi-critic path reports the mean per-update norm instead of
+        materializing all d_steps gradient trees)."""
         g_grads = pmean(g_grads)
         g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -342,7 +345,8 @@ def make_train_step(
             **(g_aux or {}),
             "d_loss": d_loss,
             "g_loss": g_loss,
-            "d_grad_norm": optax.global_norm(d_grads),
+            "d_grad_norm": (optax.global_norm(d_grads)
+                            if d_grad_norm is None else d_grad_norm),
             "g_grad_norm": optax.global_norm(g_grads),
             **d_aux,
         }
@@ -440,6 +444,95 @@ def make_train_step(
         return finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
                       d_opt_state, g_loss, g_grads, n, g_aux)
 
+    # ---- alternating step with a critic ratio (WGAN n_critic) -----------
+
+    def multi_critic_step(state: TrainState, batch: Batch):
+        """tcfg.d_steps > 1: batch leaves carry a leading [d_steps] axis —
+        one FRESH real batch (and fresh latents) per critic update, the
+        classic n_critic data accounting (arXiv 1701.07875 Algorithm 1) —
+        scanned on-device; then one G update through the updated D. A
+        separate code path so d_steps=1 keeps its exact RNG stream
+        (trajectory compatibility with every pinned test)."""
+        real, labels, rng, new_rng = prepare(state, batch)  # (c, n, ...)
+        c = tcfg.d_steps
+        n = real.shape[1]
+        k_ema, k_zg, k_lg = jax.random.split(rng, 3)
+
+        def critic(carry, xs):
+            d_params, d_opt_state = carry
+            real_i, i = xs["real"], xs["i"]
+            labels_i = xs.get("label")
+            ri = jax.random.fold_in(rng, i)  # per-critic-step key family
+            z = sample_latents(jax.random.fold_in(ri, 1), n)
+            flab = sample_labels(jax.random.fold_in(ri, 2), n)
+            fake = jax.lax.stop_gradient(
+                gan.generator.apply(state.g_params, z, flab)
+            )
+            if aug_on:
+                ka_r, ka_f, _ = aug_keys(ri, 3)
+                real_in = augment_pipeline(ka_r, real_i, state.ada_p)
+                fake_in = augment_pipeline(ka_f, fake, state.ada_p)
+            else:
+                real_in, fake_in = real_i, fake
+            k_gp = jax.random.fold_in(ri, 0x47504750)
+
+            def d_loss_fn(p):
+                return d_loss_with_aux(p, real_in, labels_i, fake_in, flab,
+                                       state.step, k_gp)
+
+            (d_loss, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_params)
+            d_grads = pmean(d_grads)
+            upd, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, upd)
+            return ((d_params, d_opt_state),
+                    (d_loss, d_aux, optax.global_norm(d_grads)))
+
+        xs = {"real": real, "i": jnp.arange(c)}
+        if labels is not None:
+            xs["label"] = labels
+        (d_params, d_opt_state), (d_losses, d_auxs, d_norms) = jax.lax.scan(
+            critic, (state.d_params, state.d_opt_state), xs
+        )
+        # per-critic-step scalars -> means (the logged value describes the
+        # whole optimizer step; ada_r's mean is the controller estimate
+        # over ALL real images D saw this step)
+        d_loss = jnp.mean(d_losses)
+        d_aux = jax.tree.map(jnp.mean, d_auxs)
+
+        z_g = sample_latents(k_zg, n)
+        fake_labels_g = sample_labels(k_lg, n)
+        if aug_on:
+            ka_g = aug_keys(rng, 3)[2]  # distinct from every critic family
+        # FM's real side: the LAST critic batch, under the augmentation D
+        # actually saw (recomputed outside the scan — elementwise-cheap)
+        real_fm, labels_fm = real[-1], (labels[-1] if labels is not None
+                                        else None)
+        if aug_on and tcfg.feature_matching > 0.0:
+            ka_r_last = aug_keys(jax.random.fold_in(rng, c - 1), 3)[0]
+            real_fm = augment_pipeline(ka_r_last, real_fm, state.ada_p)
+
+        def g_loss_fn(g_params):
+            fake = gan.generator.apply(g_params, z_g, fake_labels_g)
+            if aug_on:
+                fake = augment_pipeline(ka_g, fake, state.ada_p)
+            loss = g_loss_of(
+                gan.discriminator.apply(d_params, fake, fake_labels_g)
+            )
+            reg, g_aux = g_reg(g_params, z_g, fake_labels_g, state.step,
+                               rng, state.pl_mean)
+            fm, fm_aux = fm_term(d_params, fake, fake_labels_g, real_fm,
+                                 labels_fm)
+            return loss + reg + fm, {**g_aux, **fm_aux}
+
+        (g_loss, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        return finish(state, new_rng, k_ema, d_loss, d_aux, None, d_params,
+                      d_opt_state, g_loss, g_grads, n * c, g_aux,
+                      d_grad_norm=jnp.mean(d_norms))
+
     # ---- fused simultaneous step (FusedProp-style) ----------------------
 
     def fused_step(state: TrainState, batch: Batch):
@@ -493,7 +586,9 @@ def make_train_step(
         return finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
                       d_opt_state, g_loss, g_grads, n, g_aux)
 
-    return fused_step if tcfg.fused_step else alternating_step
+    if tcfg.fused_step:
+        return fused_step
+    return multi_critic_step if tcfg.d_steps > 1 else alternating_step
 
 
 # Metric keys whose per-window reduction is "last step", not "mean":
