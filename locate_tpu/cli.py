@@ -292,6 +292,10 @@ def cmd_eval(argv: List[str]) -> int:
                              Needs an --extractor .npz that includes the
                              fc head (convert_inception.py ships it);
                              works with --ref-stats too (IS is fake-only).
+      --dp                   run the eval data-parallel over ALL devices:
+                             sharded generation + sharded feature
+                             extraction (same latent streams; a pod
+                             evaluates at pod speed).
     """
     import json
 
@@ -319,11 +323,21 @@ def cmd_eval(argv: List[str]) -> int:
     mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
     state = mgr.restore(state)
     g_params = state.ema_params if state.ema_params is not None else state.g_params
+    mesh = None
+    ex_shard = None
+    if flags.get("dp") and len(jax.devices()) > 1:
+        # data-parallel eval over every device: sharded generation
+        # (ShardedSampler) + sharded feature extraction
+        from jax.sharding import NamedSharding, PartitionSpec
+        from locate_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.parallel)
+        ex_shard = NamedSharding(mesh, PartitionSpec(cfg.parallel.data_axis))
     extractor_path = _str_flag(flags, "extractor")
     extractor = (
-        NpzFeatureExtractor(extractor_path)
+        NpzFeatureExtractor(extractor_path, sharding=ex_shard)
         if extractor_path
-        else RandomConvFeatures()
+        else RandomConvFeatures(sharding=ex_shard)
     )
     ref_stats_path = _str_flag(flags, "ref-stats")
     stats_out = _str_flag(flags, "stats-out")
@@ -350,6 +364,7 @@ def cmd_eval(argv: List[str]) -> int:
             10 if flags.get("inception-score") is True
             else int(flags["inception-score"])
         ) if flags.get("inception-score") else None,
+        mesh=mesh,
     )
     if stats_out:
         save_stats(stats_out, arrays["fake_mu"], arrays["fake_sigma"],
@@ -378,7 +393,7 @@ def cmd_eval(argv: List[str]) -> int:
         for cls in range(cfg.model.num_classes):
             r = evaluate_generator(
                 gan, g_params, ds, n_samples=n_per, extractor=extractor,
-                label=cls,
+                label=cls, mesh=mesh,
             )
             per[cls] = {"fid": r["fid"], "kid": r["kid"],
                         "n_real": r["n_real"]}

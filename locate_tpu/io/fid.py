@@ -200,12 +200,33 @@ def prdc(real_features: np.ndarray, fake_features: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _make_conv_stack(ws, tail):
+def _shard_batch(images_u8: np.ndarray, sharding):
+    """Place a uint8 batch under a (data-axis) sharding, padding the batch
+    up to a multiple of the mesh size by repeating leading rows. Returns
+    (device_array, true_count) — callers trim features back to
+    true_count. None sharding = default single-device placement."""
+    n = len(images_u8)
+    if sharding is None:
+        return jnp.asarray(images_u8), n
+    d = len(sharding.mesh.devices.flatten())
+    m = -(-n // d) * d
+    if m != n:
+        reps = -(-(m - n) // n)
+        pad = np.concatenate([images_u8] * reps)[: m - n]
+        images_u8 = np.concatenate([images_u8, pad])
+    return jax.device_put(jnp.asarray(images_u8), sharding), n
+
+
+def _make_conv_stack(ws, tail, sharding=None):
     """Shared extractor core: stride-2 conv + leaky-relu stack over
-    uint8 NHWC input normalized to [-1, 1], with a pooling `tail`."""
+    uint8 NHWC input normalized to [-1, 1], with a pooling `tail`.
+    `sharding` (a data-axis NamedSharding) runs the stack data-parallel
+    over the mesh — GSPMD keeps every op batch-sharded, weights
+    replicated."""
 
     @jax.jit
-    def apply(x):
+    def apply(x_u8):
+        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
         feats = []
         for i, w in enumerate(ws):
             x = jax.lax.conv_general_dilated(
@@ -216,8 +237,8 @@ def _make_conv_stack(ws, tail):
         return jnp.concatenate(feats, axis=-1)
 
     def call(images_u8):
-        x = jnp.asarray(images_u8, jnp.float32) / 127.5 - 1.0
-        return np.asarray(apply(x), np.float32)
+        x, n = _shard_batch(np.asarray(images_u8), sharding)
+        return np.asarray(apply(x), np.float32)[:n]
 
     return call
 
@@ -231,9 +252,10 @@ class RandomConvFeatures:
     comparable across models generating the same resolution.
     """
 
-    def __init__(self, seed: int = 0, width: int = 64):
+    def __init__(self, seed: int = 0, width: int = 64, sharding=None):
         self.seed = seed
         self.width = width
+        self.sharding = sharding  # data-axis NamedSharding -> DP extraction
         self._calls = {}  # keyed by input channel count
 
     @property
@@ -256,7 +278,7 @@ class RandomConvFeatures:
                 feats = feats + [x.mean(axis=(1, 2)), x.std(axis=(1, 2))]
             return feats
 
-        return _make_conv_stack(ws, tail)
+        return _make_conv_stack(ws, tail, self.sharding)
 
     def __call__(self, images_u8: np.ndarray) -> np.ndarray:
         cin = images_u8.shape[-1]
@@ -278,8 +300,9 @@ class NpzFeatureExtractor:
         pooling of the final stage.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, sharding=None):
         self.path = path
+        self.sharding = sharding  # data-axis NamedSharding -> DP extraction
         data = np.load(path)
         if "format" in data.files:
             from locate_tpu.io.inception import FORMAT, InceptionExtractor
@@ -287,7 +310,7 @@ class NpzFeatureExtractor:
             fmt = str(data["format"])
             if fmt != FORMAT:
                 raise ValueError(f"unknown extractor format {fmt!r} in {path!r}")
-            self._inner = InceptionExtractor(path)
+            self._inner = InceptionExtractor(path, sharding=sharding)
             self._call = self._inner
             self._token = self._inner.cache_token
             self.fc = self._inner.fc  # classifier head (Inception Score)
@@ -297,7 +320,7 @@ class NpzFeatureExtractor:
         def tail(i, n_layers, x, feats):
             return [x.mean(axis=(1, 2))] if i == n_layers - 1 else feats
 
-        self._call = _make_conv_stack(ws, tail)
+        self._call = _make_conv_stack(ws, tail, sharding)
         self._token = f"npz:{self.path}"
 
     @property
@@ -336,6 +359,7 @@ def evaluate_generator(
     prdc_k: Optional[int] = None,
     label: Optional[int] = None,
     is_splits: Optional[int] = None,
+    mesh=None,
 ) -> dict:
     """Generate n_samples, extract features for both generated and real
     examples, return {"fid": ..., "kid": ...} (rFID/rKID with the default
@@ -368,9 +392,28 @@ def evaluate_generator(
     is_std at that split count; 10 is standard). Needs an extractor whose
     features are pool3 AND that exposes the classifier head as `.fc`
     (InceptionExtractor with an fc-bearing .npz) — logits are then one
-    matmul on the fake features already in hand."""
+    matmul on the fake features already in hand.
+
+    `mesh` runs the whole eval DATA-PARALLEL over that jax.sharding.Mesh:
+    generation through `ShardedSampler` (same latent key scheme, so the
+    image stream matches the single-device path up to compile-level float
+    noise) and feature extraction with the batch sharded over the mesh's
+    first axis (the default extractor is rebuilt with that sharding;
+    custom extractors are used as passed — construct them with
+    `sharding=` to shard their pass too). The in-training eval passes the
+    training mesh, so a pod evaluates at pod speed."""
     from locate_tpu.io.sampling import generate_samples
 
+    sampler = None
+    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from locate_tpu.io.sampling import ShardedSampler
+
+        sampler = ShardedSampler(gan, g_params, mesh)
+        if extractor is None:
+            extractor = RandomConvFeatures(
+                sharding=NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            )
     extractor = extractor or RandomConvFeatures()
     key = jax.random.PRNGKey(seed)
     fake_feats = []
@@ -378,7 +421,10 @@ def evaluate_generator(
         k = jax.random.fold_in(key, i)
         n = min(batch, n_samples - i)
         labels = None if label is None else jnp.full((n,), label)
-        imgs = generate_samples(gan, g_params, k, n, labels=labels)
+        if sampler is not None:
+            imgs = sampler(k, n, labels=labels)
+        else:
+            imgs = generate_samples(gan, g_params, k, n, labels=labels)
         fake_feats.append(extractor(imgs))
     fake = np.concatenate(fake_feats, axis=0)
     mu_f, s_f = feature_stats(fake)

@@ -378,10 +378,11 @@ class InceptionExtractor:
     single-channel datasets).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, sharding=None):
         self.path = path
         params, mean, std, variant = load_npz(path)
-        self._fn = make_feature_fn(params, mean, std, variant)
+        self._fn = make_feature_fn(params, mean, std, variant,
+                                   sharding=sharding)
         # optional classifier head: (2048, n_classes), (n_classes,) numpy —
         # evaluate_generator turns the pool3 features it already has into
         # logits for Inception Score (None when the .npz ships no fc)
@@ -399,8 +400,11 @@ class InceptionExtractor:
 
 
 def make_feature_fn(params: Params, mean: np.ndarray, std: np.ndarray,
-                    variant: str = "torchvision"):
-    """(uint8 NHWC ndarray) -> (N, 2048) float32 ndarray, jitted once."""
+                    variant: str = "torchvision", sharding=None):
+    """(uint8 NHWC ndarray) -> (N, 2048) float32 ndarray, jitted once.
+    `sharding` (a data-axis NamedSharding) runs the network data-parallel
+    over the mesh — the batch stays sharded through resize + all convs
+    (everything is batch-elementwise), params replicated by GSPMD."""
 
     @jax.jit
     def apply(x_u8):
@@ -410,6 +414,9 @@ def make_feature_fn(params: Params, mean: np.ndarray, std: np.ndarray,
     def call(images_u8: np.ndarray) -> np.ndarray:
         if images_u8.shape[-1] == 1:
             images_u8 = np.repeat(images_u8, 3, axis=-1)
-        return np.asarray(apply(images_u8), np.float32)
+        from locate_tpu.io.fid import _shard_batch
+
+        x, n = _shard_batch(np.asarray(images_u8), sharding)
+        return np.asarray(apply(x), np.float32)[:n]
 
     return call

@@ -174,12 +174,22 @@ def train(
                 from locate_tpu.io.fid import RandomConvFeatures, evaluate_generator
 
                 if eval_extractor is None:
-                    eval_extractor = RandomConvFeatures()
+                    ex_shard = None
+                    if mesh.size > 1:
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        ex_shard = NamedSharding(
+                            mesh, PartitionSpec(cfg.parallel.data_axis)
+                        )
+                    eval_extractor = RandomConvFeatures(sharding=ex_shard)
                 g_params = state.ema_params if state.ema_params is not None else state.g_params
                 scores = evaluate_generator(
                     gan, g_params, batches.dataset,  # reuse: no dataset rebuild
                     n_samples=cfg.train.eval_samples, seed=cfg.train.seed,
                     extractor=eval_extractor, cache=eval_cache,
+                    # evaluate over the TRAINING mesh: generation and
+                    # feature extraction run data-parallel on a pod
+                    mesh=mesh if mesh.size > 1 else None,
                 )
                 logger.log_scalars(
                     step_num, {"eval_rfid": scores["fid"], "eval_rkid": scores["kid"]}
