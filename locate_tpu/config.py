@@ -179,8 +179,9 @@ class TrainConfig:
     global_batch: int = 64
     g_opt: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     d_opt: OptimConfig = dataclasses.field(default_factory=OptimConfig)
-    # GAN loss: "nonsat" (reference behavior), "hinge", or "wgan"
-    # (Wasserstein critic — pair with r1_gamma for the Lipschitz control).
+    # GAN loss: "nonsat" (reference behavior), "hinge", "wgan"
+    # (Wasserstein critic — pair with r1_gamma for the Lipschitz control),
+    # or "lsgan" (least-squares, arXiv 1611.04076).
     loss: str = "nonsat"
     # Fused simultaneous step (FusedProp-style, PAPERS.md: arXiv
     # 2004.03335): share one latent batch and one fake forward between the

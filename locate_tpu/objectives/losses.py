@@ -59,6 +59,23 @@ def d_wgan_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
     )
 
 
+def g_lsgan_loss(fake_logits: jax.Array) -> jax.Array:
+    """Least-squares generator loss 0.5*E[(D(fake)-1)^2] (LSGAN, arXiv
+    1611.04076 eq. 9 with the 0-1 coding scheme)."""
+    f = fake_logits.astype(jnp.float32)
+    return 0.5 * jnp.mean((f - 1.0) ** 2)
+
+
+def d_lsgan_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
+    """Least-squares discriminator loss (LSGAN, arXiv 1611.04076 eq. 9):
+    0.5*E[(D(real)-1)^2] + 0.5*E[D(fake)^2]. Penalizes confident logits on
+    BOTH sides (unlike nonsat's saturating tails), which is its stability
+    mechanism — no Lipschitz control needed."""
+    r = real_logits.astype(jnp.float32)
+    f = fake_logits.astype(jnp.float32)
+    return 0.5 * jnp.mean((r - 1.0) ** 2) + 0.5 * jnp.mean(f**2)
+
+
 def get_losses(kind: str):
     """(g_loss_fn, d_loss_fn) for a configured loss family."""
     if kind == "nonsat":
@@ -67,6 +84,8 @@ def get_losses(kind: str):
         return g_hinge_loss, d_hinge_loss
     if kind == "wgan":
         return g_wgan_loss, d_wgan_loss
+    if kind == "lsgan":
+        return g_lsgan_loss, d_lsgan_loss
     raise ValueError(f"unknown GAN loss {kind!r}")
 
 

@@ -37,6 +37,37 @@ def test_loss_direction():
     assert float(g_nonsat_loss(jnp.full((4,), 10.0))) < 1e-3
 
 
+def test_lsgan_losses_match_torch():
+    from locate_tpu.objectives.losses import d_lsgan_loss, g_lsgan_loss
+
+    rs = np.random.RandomState(2)
+    real = rs.randn(16).astype(np.float32) * 2
+    fake = rs.randn(16).astype(np.float32) * 2
+    tr, tf = torch.from_numpy(real), torch.from_numpy(fake)
+    ref_d = float(
+        0.5 * F.mse_loss(tr, torch.ones_like(tr))
+        + 0.5 * F.mse_loss(tf, torch.zeros_like(tf))
+    )
+    ref_g = float(0.5 * F.mse_loss(tf, torch.ones_like(tf)))
+    np.testing.assert_allclose(
+        float(d_lsgan_loss(jnp.asarray(real), jnp.asarray(fake))), ref_d,
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(g_lsgan_loss(jnp.asarray(fake))), ref_g, rtol=1e-6
+    )
+
+
+def test_lsgan_direction_and_registry():
+    from locate_tpu.objectives.losses import get_losses
+
+    g_fn, d_fn = get_losses("lsgan")
+    good = float(d_fn(jnp.ones((4,)), jnp.zeros((4,))))
+    bad = float(d_fn(jnp.zeros((4,)), jnp.ones((4,))))
+    assert good < 1e-6 < bad
+    assert float(g_fn(jnp.ones((4,)))) < 1e-6 < float(g_fn(jnp.zeros((4,))))
+
+
 def test_r1_penalty_quadratic():
     """For D(x) = <w, x>, R1 = 0.5 * ||w||^2 regardless of x."""
     w = jnp.asarray(np.random.RandomState(0).randn(4, 4, 3).astype(np.float32))
