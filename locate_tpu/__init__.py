@@ -37,6 +37,7 @@ from locate_tpu.nn.blocks import (
     to_rgb,
 )
 from locate_tpu.ops.attention import locate_attention
+from locate_tpu.ops.self_attention import self_attention
 from locate_tpu.objectives.losses import (
     d_nonsat_loss,
     g_nonsat_loss,
@@ -77,7 +78,7 @@ __all__ = [
     "GAN", "build_gan", "Generator", "build_generator",
     "Discriminator", "build_discriminator",
     "conv_block", "generator_stage", "discriminator_stage", "to_rgb", "from_rgb",
-    "locate_attention",
+    "locate_attention", "self_attention",
     "d_nonsat_loss", "g_nonsat_loss", "r1_penalty", "gradient_penalty",
     "path_lengths", "spectral_normalize", "spectral_sigma", "project",
     "minibatch_stddev",

@@ -31,6 +31,12 @@ class AttentionConfig:
     config-driven.
     """
 
+    # Attention family: "locate" (the reference's linear-cost location-based
+    # gate — ops/attention.py) or "self" (full O(N^2) spatial self-attention,
+    # SAGAN arXiv 1805.08318 — ops/self_attention.py; flash Pallas kernel
+    # under use_pallas). The sa_* / heads fields apply to "self" only;
+    # mode/per_channel/pos_features/bottleneck/residual to "locate" only.
+    kind: str = "locate"
     # Gate normalization: "softmax" normalizes the gate over all H*W
     # locations (scaled by H*W so the identity gate is all-ones);
     # "sigmoid" is an unnormalized per-location gate.
@@ -45,6 +51,25 @@ class AttentionConfig:
     # If true the block computes x * (1 + gate_centered) residually so an
     # all-zero gate MLP is the identity at init.
     residual: bool = True
+    # --- kind="self" only (SAGAN self-attention) ---
+    # Attention heads (q/k/v dims split per head, transformer-style).
+    heads: int = 1
+    # Channel reduction for q/k (SAGAN: C/8) and v (SAGAN v2: C/2).
+    sa_qk_bottleneck: int = 8
+    sa_v_bottleneck: int = 2
+    # 1/sqrt(d_head) score scaling (modern default); False restores the
+    # SAGAN paper's unscaled dot products.
+    sa_scale: bool = True
+
+    def __post_init__(self):
+        if self.kind not in ("locate", "self"):
+            raise ValueError(
+                f"attention.kind must be 'locate' or 'self', got {self.kind!r}"
+            )
+        if self.heads < 1:
+            raise ValueError(f"attention.heads must be >= 1, got {self.heads}")
+        if self.sa_qk_bottleneck < 1 or self.sa_v_bottleneck < 1:
+            raise ValueError("attention sa_*_bottleneck must be >= 1")
 
 
 @dataclasses.dataclass(frozen=True)

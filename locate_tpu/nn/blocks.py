@@ -20,6 +20,7 @@ from locate_tpu.nn.core import Layer, sequential
 from locate_tpu.ops import initializers
 from locate_tpu.ops.activations import make_act
 from locate_tpu.ops.attention import locate_attention
+from locate_tpu.ops.self_attention import self_attention
 from locate_tpu.ops.conv import (
     conv2d,
     downsample_avg,
@@ -220,6 +221,24 @@ def _maybe_fused_stage(layers, kinds, cfg: ModelConfig, compute_dtype) -> Layer:
     return Layer(init=seq.init, apply=apply)
 
 
+def _attention_layer(cfg: ModelConfig, out_ch: int, compute_dtype):
+    """Attention block for a stage, by family (AttentionConfig.kind):
+    "locate" (the reference's gate) or "self" (SAGAN, flash kernel under
+    use_pallas). Returns (layer, kind_tag); the "sattn" tag keeps the
+    fused-stage pairing logic (which implements only the locate gate) from
+    claiming a self-attention block."""
+    if cfg.attention.kind == "self":
+        layer = self_attention(
+            out_ch, cfg.attention, compute_dtype, use_pallas=cfg.use_pallas
+        )
+        return layer, ("sattn",)
+    layer = locate_attention(
+        out_ch, cfg.attention, cfg.act, cfg.leaky_slope, compute_dtype,
+        use_pallas=cfg.use_pallas,
+    )
+    return layer, ("attn",)
+
+
 def generator_stage(
     in_ch: int,
     out_ch: int,
@@ -240,13 +259,9 @@ def generator_stage(
         layers.append(conv_block(out_ch, out_ch, cfg, compute_dtype))
         kinds.append(("conv", out_ch, out_ch))
     if cfg.attention_at(resolution):
-        layers.append(
-            locate_attention(
-                out_ch, cfg.attention, cfg.act, cfg.leaky_slope, compute_dtype,
-                use_pallas=cfg.use_pallas,
-            )
-        )
-        kinds.append(("attn",))
+        layer, tag = _attention_layer(cfg, out_ch, compute_dtype)
+        layers.append(layer)
+        kinds.append(tag)
     return _maybe_fused_stage(layers, kinds, cfg, compute_dtype)
 
 
@@ -267,13 +282,9 @@ def discriminator_stage(
         layers.append(conv_block(out_ch, out_ch, cfg, compute_dtype))
         kinds.append(("conv", out_ch, out_ch))
     if cfg.attention_at(resolution):
-        layers.append(
-            locate_attention(
-                out_ch, cfg.attention, cfg.act, cfg.leaky_slope, compute_dtype,
-                use_pallas=cfg.use_pallas,
-            )
-        )
-        kinds.append(("attn",))
+        layer, tag = _attention_layer(cfg, out_ch, compute_dtype)
+        layers.append(layer)
+        kinds.append(tag)
     if not last:
         layers.append(downsample_avg(2))
         kinds.append(("down",))  # fusable into the preceding conv/attn

@@ -72,7 +72,32 @@ def conv_block(params, x, cfg: ModelConfig):
     return (h + s) * SQRT_HALF
 
 
+def self_attention(params, x, cfg: ModelConfig):
+    """Twin of ops/self_attention.py (SAGAN block, attention.kind="self")."""
+    from locate_tpu.ops.self_attention import _head_dims
+
+    acfg = cfg.attention
+    n, hh, ww, c = x.shape
+    t = hh * ww
+    dk, dv = _head_dims(c, acfg)
+    heads = acfg.heads
+    scale = (dk // heads) ** -0.5 if acfg.sa_scale else 1.0
+
+    def proj(p, d):
+        return apply_conv(p, x).reshape(n, t, heads, d // heads).permute(0, 2, 1, 3)
+
+    q = proj(params["q"], dk)                       # (n, heads, t, dh)
+    k = proj(params["k"], dk)
+    v = proj(params["v"], dv)
+    att = F.softmax(q @ k.transpose(-1, -2) * scale, dim=-1)
+    out = (att @ v).permute(0, 2, 1, 3).reshape(n, hh, ww, dv)
+    o = conv_nhwc(out, params["o"]["w"], params["o"]["b"])
+    return x + params["gamma"] * o
+
+
 def attention(params, x, cfg: ModelConfig):
+    if cfg.attention.kind == "self":
+        return self_attention(params, x, cfg)
     acfg = cfg.attention
     n, hh, ww, c = x.shape
     feats = x
