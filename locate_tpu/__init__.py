@@ -22,12 +22,14 @@ from locate_tpu.config import (
     ModelConfig,
     OptimConfig,
     ParallelConfig,
+    StyleConfig,
     TrainConfig,
     get_config,
     PRESETS,
 )
 from locate_tpu.models.gan import GAN, build_gan
 from locate_tpu.models.generator import Generator, build_generator
+from locate_tpu.models.style_generator import build_style_generator
 from locate_tpu.models.discriminator import Discriminator, build_discriminator
 from locate_tpu.nn.blocks import (
     conv_block,
@@ -74,8 +76,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "AttentionConfig", "Config", "DataConfig", "ModelConfig", "OptimConfig",
-    "ParallelConfig", "TrainConfig", "get_config", "PRESETS",
+    "ParallelConfig", "StyleConfig", "TrainConfig", "get_config", "PRESETS",
     "GAN", "build_gan", "Generator", "build_generator",
+    "build_style_generator",
     "Discriminator", "build_discriminator",
     "conv_block", "generator_stage", "discriminator_stage", "to_rgb", "from_rgb",
     "locate_attention", "self_attention",

@@ -73,9 +73,39 @@ class AttentionConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class StyleConfig:
+    """Style-based generator family (`model.arch="style"`; StyleGAN2
+    arXiv 1912.04958 §2): mapping network z -> w plus weight-(de)modulated
+    synthesis convolutions. Beyond-reference capability — the reference's
+    family is the plain stack (`arch="locate"`)."""
+
+    # Intermediate latent (w) dimensionality; 0 -> model.latent_dim.
+    w_dim: int = 0
+    # Mapping-network depth (dense + leaky_relu layers).
+    mapping_layers: int = 4
+    # Equalized-LR multiplier for the mapping network (StyleGAN2 trains the
+    # mapping 100x slower than synthesis; 0.01 is the paper value).
+    mapping_lr_mul: float = 0.01
+    # Demodulate styled conv weights (the paper's replacement for AdaIN's
+    # instance norm). Disable for a pure modulation ablation.
+    demodulate: bool = True
+
+    def __post_init__(self):
+        if self.mapping_layers < 1:
+            raise ValueError("style.mapping_layers must be >= 1")
+        if self.mapping_lr_mul <= 0.0:
+            raise ValueError("style.mapping_lr_mul must be > 0")
+
+
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Generator/discriminator architecture (SURVEY.md §2 L2-L3)."""
 
+    # Generator family: "locate" (the reference's conv+attention stack,
+    # SURVEY.md §4.2) or "style" (mapping network + modulated convs,
+    # models/style_generator.py). The discriminator is shared.
+    arch: str = "locate"
+    style: "StyleConfig" = dataclasses.field(default_factory=lambda: StyleConfig())
     resolution: int = 32
     img_channels: int = 3
     latent_dim: int = 128
@@ -129,6 +159,10 @@ class ModelConfig:
         if r < 8 or (r & (r - 1)) != 0:
             raise ValueError(
                 f"resolution must be a power of two >= 8, got {r}"
+            )
+        if self.arch not in ("locate", "style"):
+            raise ValueError(
+                f"model.arch must be 'locate' or 'style', got {self.arch!r}"
             )
 
     @property

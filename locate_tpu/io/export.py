@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from locate_tpu.config import AttentionConfig, ModelConfig
+from locate_tpu.config import AttentionConfig, ModelConfig, StyleConfig
 from locate_tpu.models.generator import Generator, build_generator
 
 
@@ -138,6 +138,8 @@ def load_generator(path: str, compute_dtype=None) -> Tuple[Generator, Any]:
     with open(base + ".json") as f:
         raw = json.load(f)
     raw["attention"] = AttentionConfig(**raw["attention"])
+    if isinstance(raw.get("style"), dict):  # style-family sub-config
+        raw["style"] = StyleConfig(**raw["style"])
     if isinstance(raw.get("attention_stages"), list):
         raw["attention_stages"] = tuple(raw["attention_stages"])
     model_cfg = ModelConfig(**raw)

@@ -38,6 +38,15 @@ class Generator:
 def build_generator(
     cfg: ModelConfig, compute_dtype: Optional[jnp.dtype] = None
 ) -> Generator:
+    """Dispatch on the generator family (`model.arch`): "locate" is the
+    reference's conv+attention stack below; "style" is the mapping-network
+    + modulated-conv family (models/style_generator.py). Single dispatch
+    point — every builder (train step, export, PL twin) routes through
+    here, so both families inherit the full subsystem surface."""
+    if cfg.arch == "style":
+        from locate_tpu.models.style_generator import build_style_generator
+
+        return build_style_generator(cfg, compute_dtype)
     chans = cfg.stage_channels()
     resolutions = cfg.stage_resolutions()
     in_dim = cfg.latent_dim + (cfg.class_embed_dim if cfg.num_classes else 0)

@@ -224,6 +224,74 @@ def spectral_normalize_torch(tree, v0_fn, n_iters=9, eps=1e-12):
     return tree
 
 
+# ---------------------------------------------------------------------------
+# style family twin (models/style_generator.py)
+# ---------------------------------------------------------------------------
+
+
+def eq_dense_torch(params, x, lr_mul=1.0):
+    in_dim = params["w"].shape[0]
+    scale = lr_mul / math.sqrt(in_dim)
+    return x @ (params["w"] * scale) + params["b"] * lr_mul
+
+
+def _act_gain(x, cfg: ModelConfig):
+    return act(x, cfg) * math.sqrt(2.0)
+
+
+def modulated_conv_torch(params, x, wlat, demodulate=True, eps=1e-8):
+    """The LITERAL StyleGAN2 formulation (arXiv 1912.04958 eq. 1-3):
+    materialize per-sample modulated+demodulated weights and run a grouped
+    conv — deliberately DIFFERENT from the JAX side's input-scale /
+    output-demod form, so the test pins their mathematical equality."""
+    n, hh, ww, cin = x.shape
+    kh, kw, _, cout = params["w"].shape
+    he = 1.0 / math.sqrt(kh * kw * cin)
+    s = eq_dense_torch(params["affine"], wlat)  # (n, cin)
+    w = (params["w"] * he).permute(3, 2, 0, 1)  # (cout, cin, kh, kw)
+    wt = w[None] * s[:, None, :, None, None]  # per-sample weights
+    if demodulate:
+        d = torch.rsqrt((wt**2).sum(dim=(2, 3, 4)) + eps)  # (n, cout)
+        wt = wt * d[:, :, None, None, None]
+    xt = x.permute(0, 3, 1, 2).reshape(1, n * cin, hh, ww)
+    ph, pw = kh - 1, kw - 1
+    xt = F.pad(xt, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+    y = F.conv2d(xt, wt.reshape(n * cout, cin, kh, kw), groups=n)
+    y = y.reshape(n, cout, hh, ww).permute(0, 2, 3, 1)
+    return y + params["b"]
+
+
+def style_mapping_torch(params, z, cfg: ModelConfig, labels=None):
+    lr_mul = cfg.style.mapping_lr_mul
+    x = z * torch.rsqrt((z**2).mean(dim=-1, keepdim=True) + 1e-8)
+    if cfg.num_classes:
+        e = params["class_embed"][labels]
+        e = e * torch.rsqrt((e**2).mean(dim=-1, keepdim=True) + 1e-8)
+        x = torch.cat([x, e], dim=-1)
+    for layer in params["layers"]:
+        x = _act_gain(eq_dense_torch(layer, x, lr_mul), cfg)
+    return x
+
+
+def style_generator_forward(params, cfg: ModelConfig, z, labels=None):
+    resolutions = cfg.stage_resolutions()
+    wlat = style_mapping_torch(params["mapping"], z, cfg, labels)
+    n = z.shape[0]
+    x = params["const"][None].expand(n, -1, -1, -1)
+    for i, sp in enumerate(params["stages"]):
+        if i > 0:
+            x = upsample(x)
+        for conv_p in sp["convs"]:
+            x = _act_gain(
+                modulated_conv_torch(conv_p, x, wlat, cfg.style.demodulate),
+                cfg,
+            )
+        if cfg.attention_at(resolutions[i]):
+            x = attention(sp["attn"], x, cfg)
+    y = modulated_conv_torch(params["rgb"], x, wlat, demodulate=False)
+    return torch.tanh(y)
+
+
 def to_torch_params(tree):
     """Our params pytree -> torch tensors (requires_grad on leaves)."""
     if isinstance(tree, dict):
