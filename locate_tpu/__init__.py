@@ -29,7 +29,11 @@ from locate_tpu.config import (
 )
 from locate_tpu.models.gan import GAN, build_gan
 from locate_tpu.models.generator import Generator, build_generator
-from locate_tpu.models.style_generator import build_style_generator
+from locate_tpu.models.style_generator import (
+    apply_truncated,
+    build_style_generator,
+    w_average,
+)
 from locate_tpu.models.discriminator import Discriminator, build_discriminator
 from locate_tpu.nn.blocks import (
     conv_block,
@@ -78,7 +82,7 @@ __all__ = [
     "AttentionConfig", "Config", "DataConfig", "ModelConfig", "OptimConfig",
     "ParallelConfig", "StyleConfig", "TrainConfig", "get_config", "PRESETS",
     "GAN", "build_gan", "Generator", "build_generator",
-    "build_style_generator",
+    "build_style_generator", "apply_truncated", "w_average",
     "Discriminator", "build_discriminator",
     "conv_block", "generator_stage", "discriminator_stage", "to_rgb", "from_rgb",
     "locate_attention", "self_attention",

@@ -79,8 +79,10 @@ def cmd_train(argv: List[str]) -> int:
 def cmd_sample(argv: List[str]) -> int:
     """Generate an image grid from the latest checkpoint's (EMA) generator.
 
-    --truncation=T applies the truncation trick; --interpolate renders a
-    slerp interpolation sheet (--rows/--cols) instead of random samples.
+    --truncation=T applies the truncation trick (z-space, any family);
+    --truncation-psi=P applies w-space truncation (model.arch=style);
+    --interpolate renders a slerp interpolation sheet (--rows/--cols)
+    instead of random samples.
     """
     import jax
 
@@ -123,6 +125,7 @@ def cmd_sample(argv: List[str]) -> int:
         imgs = generate_samples(
             gan, g_params, key, count, labels=labels,
             truncation=float(_str_flag(flags, "truncation", "0.0")),
+            truncation_psi=float(_str_flag(flags, "truncation-psi", "0.0")),
         )
     out = _str_flag(flags, "out") or f"{cfg.workdir}/samples/cli_step_{int(state.step)}.png"
     save_image_grid(imgs, out, cols=grid_cols)

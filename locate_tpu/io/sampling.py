@@ -22,15 +22,44 @@ def _jitted_apply(apply_fn):
     return jax.jit(apply_fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_truncated(gan: GAN, psi: float):
+    """Style-family w-space truncation as ONE jitted program (mapping +
+    w_avg estimation + truncated synthesis); cached per (gan, psi)."""
+    from locate_tpu.models.style_generator import apply_truncated
+
+    def fn(params, z, labels, key):
+        return apply_truncated(
+            gan.config, params, z, labels, psi=psi, key=key,
+            compute_dtype=gan.compute_dtype,
+        )
+
+    return jax.jit(fn)
+
+
 def generate_samples(
     gan: GAN, g_params, key: jax.Array, count: int, labels=None,
-    truncation: float = 0.0,
+    truncation: float = 0.0, truncation_psi: float = 0.0,
 ) -> np.ndarray:
-    """Run the generator and return uint8 NHWC images on host."""
+    """Run the generator and return uint8 NHWC images on host.
+
+    `truncation` > 0 truncates the z draw (any family, BigGAN-style);
+    `truncation_psi` in (0, 1] applies W-SPACE truncation instead — the
+    style family's native knob (requires model.arch="style")."""
     z = gan.sample_latents(key, count, truncation)
     if labels is None and gan.config.num_classes:
         labels = jnp.arange(count) % gan.config.num_classes
-    imgs = _jitted_apply(gan.generator.apply)(g_params, z, labels)
+    if truncation_psi > 0.0:
+        if gan.config.arch != "style":
+            raise ValueError(
+                "truncation_psi is w-space truncation — it needs "
+                "model.arch='style' (use `truncation` for z-space)"
+            )
+        imgs = _jitted_truncated(gan, float(truncation_psi))(
+            g_params, z, labels, jax.random.fold_in(key, 0x57415647)
+        )
+    else:
+        imgs = _jitted_apply(gan.generator.apply)(g_params, z, labels)
     return to_uint8(np.asarray(jax.device_get(imgs), np.float32))
 
 

@@ -27,10 +27,11 @@ Deliberate v1 simplifications (documented, not silent):
   * one w per sample shared by all layers (no per-layer style mixing);
   * no per-pixel noise injection — `apply` stays a pure function of
     (params, z, labels), which the whole framework's determinism story
-    (bitwise resume, DP==single-device trajectory tests) relies on;
-  * truncation acts on z (GAN.sample_latents), not on w.
+    (bitwise resume, DP==single-device trajectory tests) relies on.
 Each would be an additive change (extra apply kwargs), none removes
-capability elsewhere. Rationale: docs/DESIGN.md "Style family".
+capability elsewhere. W-space truncation IS provided for sampling
+(`apply_truncated` / `w_average`; CLI `sample --truncation-psi`).
+Rationale: docs/DESIGN.md "Style family".
 """
 
 from __future__ import annotations
@@ -147,10 +148,13 @@ def mapping_apply(params, z, cfg: ModelConfig, act_fn, labels=None):
 # ---------------------------------------------------------------------------
 
 
-def build_style_generator(
+def make_style_fns(
     cfg: ModelConfig, compute_dtype: Optional[jnp.dtype] = None
-) -> Generator:
-    """Style-family generator under the standard `Generator` contract."""
+) -> dict:
+    """The family's building blocks as separate pure functions:
+    {"init", "mapping" (params, z, labels) -> w, "synthesis"
+    (params, w) -> images}. `build_style_generator` composes them into
+    the standard contract; w-space tools (truncation) use them directly."""
     scfg = cfg.style
     w_dim = scfg.w_dim or cfg.latent_dim
     chans = cfg.stage_channels()
@@ -226,10 +230,12 @@ def build_style_generator(
             x = attn_layers[i].apply(stage_params["attn"], x)
         return x
 
-    def apply(params, z, labels=None):
-        cd = compute_dtype or z.dtype
-        wlat = mapping_apply(params["mapping"], z, cfg, act_fn, labels)
-        n = z.shape[0]
+    def mapping(params, z, labels=None):
+        return mapping_apply(params["mapping"], z, cfg, act_fn, labels)
+
+    def synthesis(params, wlat, dtype=None):
+        cd = compute_dtype or dtype or jnp.float32
+        n = wlat.shape[0]
         x = jnp.broadcast_to(
             params["const"].astype(cd)[None], (n, 4, 4, chans[0])
         )
@@ -243,4 +249,65 @@ def build_style_generator(
         y = modulated_conv2d(params["rgb"], x, wlat, demodulate=False)
         return jnp.tanh(y.astype(jnp.float32)).astype(cd)
 
-    return Generator(config=cfg, init=init, apply=apply)
+    return {"init": init, "mapping": mapping, "synthesis": synthesis}
+
+
+def build_style_generator(
+    cfg: ModelConfig, compute_dtype: Optional[jnp.dtype] = None
+) -> Generator:
+    """Style-family generator under the standard `Generator` contract."""
+    fns = make_style_fns(cfg, compute_dtype)
+
+    def apply(params, z, labels=None):
+        wlat = fns["mapping"](params, z, labels)
+        return fns["synthesis"](params, wlat, dtype=z.dtype)
+
+    return Generator(config=cfg, init=fns["init"], apply=apply)
+
+
+def w_average(
+    cfg: ModelConfig,
+    params,
+    key: jax.Array,
+    n: int = 4096,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Estimate the mapping's mean w over `n` latent draws (the truncation
+    center; StyleGAN tracks a running mean during training — estimating it
+    at sample time is equivalent for a fixed checkpoint and keeps the
+    train state family-agnostic). The mapping is a tiny MLP: 4096 draws
+    cost ~nothing next to one synthesis pass."""
+    fns = make_style_fns(cfg, compute_dtype)
+    z = jax.random.normal(key, (n, cfg.latent_dim), jnp.float32)
+    labels = None
+    if cfg.num_classes:
+        labels = jax.random.randint(
+            jax.random.fold_in(key, 1), (n,), 0, cfg.num_classes
+        )
+    return jnp.mean(fns["mapping"](params, z, labels), axis=0)
+
+
+def apply_truncated(
+    cfg: ModelConfig,
+    params,
+    z: jax.Array,
+    labels=None,
+    *,
+    psi: float = 0.7,
+    w_avg: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """W-SPACE truncation (StyleGAN arXiv 1812.04948 §3.1, the family's
+    native quality/diversity knob): w' = w_avg + psi * (w - w_avg).
+    psi=1 is the untruncated distribution; psi=0 collapses to the mean
+    image. Pass a precomputed `w_avg` (e.g. from `w_average`) or a `key`
+    to estimate it on the fly."""
+    if w_avg is None:
+        if key is None:
+            raise ValueError("apply_truncated needs w_avg or a key")
+        w_avg = w_average(cfg, params, key, compute_dtype=compute_dtype)
+    fns = make_style_fns(cfg, compute_dtype)
+    wlat = fns["mapping"](params, z, labels)
+    wlat = w_avg + psi * (wlat - w_avg)
+    return fns["synthesis"](params, wlat, dtype=z.dtype)

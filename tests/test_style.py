@@ -279,6 +279,54 @@ def test_style_export_roundtrip(tmp_path):
     )
 
 
+def test_w_space_truncation():
+    """psi=0 collapses every sample to the mean-w image; psi=1 equals the
+    untruncated apply; generate_samples wires it (and rejects the locate
+    family)."""
+    from locate_tpu.models.style_generator import apply_truncated, w_average
+
+    cfg = _style_model()
+    gen = build_generator(cfg)
+    params = gen.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.latent_dim))
+    w_avg = w_average(cfg, params, jax.random.PRNGKey(2), n=512)
+
+    collapsed = apply_truncated(cfg, params, z, psi=0.0, w_avg=w_avg)
+    np.testing.assert_allclose(
+        np.asarray(collapsed[0]), np.asarray(collapsed[1]), atol=1e-6
+    )
+    full = apply_truncated(cfg, params, z, psi=1.0, w_avg=w_avg)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(gen.apply(params, z)), atol=1e-5
+    )
+    # variety shrinks monotonically-ish with psi
+    spread = lambda y: float(jnp.std(y, axis=0).mean())
+    assert spread(collapsed) < 1e-6 < spread(
+        apply_truncated(cfg, params, z, psi=0.5, w_avg=w_avg)
+    ) < spread(full) + 1e-6
+
+
+def test_generate_samples_truncation_psi(tiny_config):
+    from locate_tpu.io.sampling import generate_samples
+
+    cfg = _style_config(tiny_config)
+    gan = build_gan(cfg)
+    params = gan.init(jax.random.PRNGKey(0))
+    imgs = generate_samples(
+        gan, params["generator"], jax.random.PRNGKey(1), 4,
+        truncation_psi=0.7,
+    )
+    assert imgs.shape == (4, 16, 16, 3) and imgs.dtype == np.uint8
+
+    gan_locate = build_gan(tiny_config)
+    p2 = gan_locate.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        generate_samples(
+            gan_locate, p2["generator"], jax.random.PRNGKey(1), 4,
+            truncation_psi=0.7,
+        )
+
+
 def test_arch_validation():
     with pytest.raises(ValueError):
         ModelConfig(arch="nope")
