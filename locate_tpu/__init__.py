@@ -46,7 +46,10 @@ from locate_tpu.ops.attention import locate_attention
 from locate_tpu.ops.self_attention import self_attention
 from locate_tpu.objectives.losses import (
     d_nonsat_loss,
+    d_ragan_loss,
     g_nonsat_loss,
+    g_ragan_loss,
+    get_losses,
     gradient_penalty,
     path_lengths,
     r1_penalty,
@@ -86,7 +89,8 @@ __all__ = [
     "Discriminator", "build_discriminator",
     "conv_block", "generator_stage", "discriminator_stage", "to_rgb", "from_rgb",
     "locate_attention", "self_attention",
-    "d_nonsat_loss", "g_nonsat_loss", "r1_penalty", "gradient_penalty",
+    "d_nonsat_loss", "g_nonsat_loss", "d_ragan_loss", "g_ragan_loss",
+    "get_losses", "r1_penalty", "gradient_penalty",
     "path_lengths", "spectral_normalize", "spectral_sigma", "project",
     "minibatch_stddev",
     "ema_init", "ema_update",

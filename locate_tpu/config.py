@@ -240,8 +240,20 @@ class TrainConfig:
     d_opt: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     # GAN loss: "nonsat" (reference behavior), "hinge", "wgan"
     # (Wasserstein critic — pair with r1_gamma for the Lipschitz control),
-    # or "lsgan" (least-squares, arXiv 1611.04076).
+    # "lsgan" (least-squares, arXiv 1611.04076), or the relativistic
+    # average pairs "ragan" / "rahinge" (arXiv 1807.00734 — D rates reals
+    # relative to the batch-average fake and vice versa; the G loss then
+    # also needs D(real), one extra D forward per step on the alternating
+    # flavor, CSE-free on the fused flavor).
     loss: str = "nonsat"
+    # Top-k generator training (arXiv 2002.06224): each step the G loss
+    # averages only over the `topk_fraction` of fake samples with the
+    # HIGHEST critic scores — gradients from the worst fakes (which D
+    # rejects hardest) are discarded. Selection is over the GLOBAL batch
+    # (identical under GSPMD / shard_map / single device). 1.0 disables;
+    # the paper anneals toward 0.5. Per-sample-decomposable losses only
+    # (not ragan/rahinge).
+    topk_fraction: float = 1.0
     # Fused simultaneous step (FusedProp-style, PAPERS.md: arXiv
     # 2004.03335): share one latent batch and one fake forward between the
     # D and G losses, computing both gradients against the CURRENT params
@@ -312,6 +324,20 @@ class TrainConfig:
     # recipe — use lazy R1 instead when grad-of-grad cost matters).
     # 0 disables; the paper uses 10 with the wgan loss.
     gp_gamma: float = 0.0
+    # Balanced consistency regularization (bCR, arXiv 2002.04724 §3):
+    # penalize D for scoring an image and an augmented view of it
+    # differently — bcr_gamma * (E[(D(x)-D(T(x)))^2] over reals + the same
+    # over fakes) added to the D LOSS ONLY. Unlike ADA, G never sees the
+    # bCR augmentations (they regularize D's invariances; the adversarial
+    # logits stay un-augmented), so the two compose: ADA fights D
+    # memorization, bCR shapes D's smoothness. T draws from the same
+    # on-device pipeline (ops/augment.py) with per-op probability `bcr_p`
+    # over the `bcr_ops` categories (paper: flip+shift, our "geom").
+    # Like ADA's draws, T is sampled per-replica under shard_map (GSPMD
+    # keeps DP == single-device; documented divergence). 0 disables.
+    bcr_gamma: float = 0.0
+    bcr_p: float = 0.5
+    bcr_ops: str = "geom"
     # ProGAN-style drift penalty eps * E[D(real)^2] (arXiv 1710.10196
     # §A.1) — keeps D's logits from running away (the observed
     # long-horizon failure mode: D saturates, G gradients explode).
@@ -372,6 +398,16 @@ class TrainConfig:
             )
         if self.ada_speed_kimg <= 0:
             raise ValueError("ada_speed_kimg must be positive")
+        if self.bcr_gamma < 0.0:
+            raise ValueError(f"bcr_gamma must be >= 0, got {self.bcr_gamma}")
+        if not 0.0 <= self.bcr_p <= 1.0:
+            raise ValueError(f"bcr_p must be in [0, 1], got {self.bcr_p}")
+        bad = [s for s in self.bcr_ops.split(",")
+               if s.strip() not in ("geom", "color", "cutout", "")]
+        if bad:
+            raise ValueError(
+                f"bcr_ops categories {bad} unknown (geom/color/cutout)"
+            )
         if self.logit_penalty < 0.0:
             raise ValueError(
                 f"logit_penalty must be >= 0, got {self.logit_penalty}"
@@ -392,6 +428,15 @@ class TrainConfig:
             )
         if self.d_steps < 1:
             raise ValueError(f"d_steps must be >= 1, got {self.d_steps}")
+        if not 0.0 < self.topk_fraction <= 1.0:
+            raise ValueError(
+                f"topk_fraction must be in (0, 1], got {self.topk_fraction}"
+            )
+        if self.topk_fraction < 1.0 and self.loss in ("ragan", "rahinge"):
+            raise ValueError(
+                "topk_fraction < 1 needs a per-sample-decomposable G loss; "
+                f"{self.loss!r} couples samples through batch means"
+            )
         if self.d_steps > 1 and self.fused_step:
             raise ValueError(
                 "d_steps > 1 needs the alternating step (fused_step=True "

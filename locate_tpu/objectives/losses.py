@@ -76,8 +76,80 @@ def d_lsgan_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
     return 0.5 * jnp.mean((r - 1.0) ** 2) + 0.5 * jnp.mean(f**2)
 
 
+def g_ragan_loss(fake_logits: jax.Array, real_logits: jax.Array,
+                 mean_fn=jnp.mean) -> jax.Array:
+    """Relativistic average GAN generator loss (RaGAN, arXiv 1807.00734
+    §4.2): the generator pushes D(fake) above the AVERAGE real logit AND
+    D(real) below the average fake logit,
+
+        E[softplus(-(D(fake) - E[D(real)]))] + E[softplus(D(real) - E[D(fake)])]
+
+    `mean_fn` computes the batch-mean logits E[.]; under shard_map the
+    train step passes a pmean'd mean so the averages are GLOBAL-batch
+    statistics (the loss couples samples through them — per-replica means
+    would change the objective with the mesh)."""
+    f = fake_logits.astype(jnp.float32)
+    r = real_logits.astype(jnp.float32)
+    mr, mf = mean_fn(r), mean_fn(f)
+    return jnp.mean(jax.nn.softplus(-(f - mr))) + jnp.mean(
+        jax.nn.softplus(r - mf)
+    )
+
+
+def d_ragan_loss(real_logits: jax.Array, fake_logits: jax.Array,
+                 mean_fn=jnp.mean) -> jax.Array:
+    """Relativistic average GAN discriminator loss (arXiv 1807.00734 §4.2):
+    D rates reals above the average fake and fakes below the average real:
+
+        E[softplus(-(D(real) - E[D(fake)]))] + E[softplus(D(fake) - E[D(real)])]
+    """
+    r = real_logits.astype(jnp.float32)
+    f = fake_logits.astype(jnp.float32)
+    mr, mf = mean_fn(r), mean_fn(f)
+    return jnp.mean(jax.nn.softplus(-(r - mf))) + jnp.mean(
+        jax.nn.softplus(f - mr)
+    )
+
+
+def g_rahinge_loss(fake_logits: jax.Array, real_logits: jax.Array,
+                   mean_fn=jnp.mean) -> jax.Array:
+    """Relativistic average hinge generator loss (RaHingeGAN, arXiv
+    1807.00734 table 2 — the pairing used by e.g. ESRGAN):
+    E[relu(1 - (D(fake) - E[D(real)]))] + E[relu(1 + (D(real) - E[D(fake)]))].
+    """
+    f = fake_logits.astype(jnp.float32)
+    r = real_logits.astype(jnp.float32)
+    mr, mf = mean_fn(r), mean_fn(f)
+    return jnp.mean(jax.nn.relu(1.0 - (f - mr))) + jnp.mean(
+        jax.nn.relu(1.0 + (r - mf))
+    )
+
+
+def d_rahinge_loss(real_logits: jax.Array, fake_logits: jax.Array,
+                   mean_fn=jnp.mean) -> jax.Array:
+    """Relativistic average hinge discriminator loss (arXiv 1807.00734
+    table 2): E[relu(1 - (D(real) - E[D(fake)]))] +
+    E[relu(1 + (D(fake) - E[D(real)]))]."""
+    r = real_logits.astype(jnp.float32)
+    f = fake_logits.astype(jnp.float32)
+    mr, mf = mean_fn(r), mean_fn(f)
+    return jnp.mean(jax.nn.relu(1.0 - (r - mf))) + jnp.mean(
+        jax.nn.relu(1.0 + (f - mr))
+    )
+
+
+# Families whose G loss needs the real logits (and a global-mean hook):
+# both loss fns take (logits..., mean_fn=jnp.mean).
+RELATIVISTIC = frozenset({"ragan", "rahinge"})
+# Families whose G loss decomposes into independent per-sample terms
+# (required by top-k training, TrainConfig.topk_fraction).
+PER_SAMPLE_G = frozenset({"nonsat", "hinge", "wgan", "lsgan"})
+
+
 def get_losses(kind: str):
-    """(g_loss_fn, d_loss_fn) for a configured loss family."""
+    """(g_loss_fn, d_loss_fn) for a configured loss family. Relativistic
+    families (RELATIVISTIC) have the extended signatures
+    g(fake_logits, real_logits, mean_fn) / d(real, fake, mean_fn)."""
     if kind == "nonsat":
         return g_nonsat_loss, d_nonsat_loss
     if kind == "hinge":
@@ -86,7 +158,27 @@ def get_losses(kind: str):
         return g_wgan_loss, d_wgan_loss
     if kind == "lsgan":
         return g_lsgan_loss, d_lsgan_loss
+    if kind == "ragan":
+        return g_ragan_loss, d_ragan_loss
+    if kind == "rahinge":
+        return g_rahinge_loss, d_rahinge_loss
     raise ValueError(f"unknown GAN loss {kind!r}")
+
+
+def g_per_sample(kind: str):
+    """Per-sample generator loss (N,)->(N,) for the per-sample-decomposable
+    families — the form top-k training (arXiv 2002.06224) masks. The mean
+    of the returned vector equals the family's scalar G loss."""
+    if kind == "nonsat":
+        return lambda f: jax.nn.softplus(-f.astype(jnp.float32))
+    if kind in ("hinge", "wgan"):
+        return lambda f: -f.astype(jnp.float32)
+    if kind == "lsgan":
+        return lambda f: 0.5 * (f.astype(jnp.float32) - 1.0) ** 2
+    raise ValueError(
+        f"loss {kind!r} has no per-sample generator decomposition "
+        "(relativistic losses couple samples through batch means)"
+    )
 
 
 def r1_penalty(d_apply, d_params, real_images: jax.Array, labels=None) -> jax.Array:

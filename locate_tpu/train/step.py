@@ -35,6 +35,8 @@ from locate_tpu.config import Config
 from locate_tpu.models.gan import GAN
 from locate_tpu.objectives.ema import ema_update
 from locate_tpu.objectives.losses import (
+    RELATIVISTIC,
+    g_per_sample,
     get_losses,
     gradient_penalty,
     path_lengths,
@@ -68,6 +70,10 @@ def make_train_step(
     g_opt, d_opt = make_optimizers(cfg.train)
     g_loss_of, d_loss_of = get_losses(cfg.train.loss)
     tcfg = cfg.train
+    relativistic = tcfg.loss in RELATIVISTIC
+    per_sample_of = (
+        g_per_sample(tcfg.loss) if tcfg.topk_fraction < 1.0 else None
+    )
     conditional = gan.config.num_classes > 0
     # Discriminator augmentation (ADA, ops/augment.py): D only ever sees
     # aug(x); the G step backprops through the augmentation of its fakes.
@@ -78,14 +84,21 @@ def make_train_step(
     # independently (mesh-invariance vs the global program is NOT
     # preserved for the augmentation draws, unlike latents).
     aug_on = tcfg.augment_p > 0.0 or tcfg.ada_target > 0.0
-    if aug_on:
+    bcr_on = tcfg.bcr_gamma > 0.0
+    if aug_on or bcr_on:
         from locate_tpu.ops.augment import augment_pipeline
+    bcr_ops = tuple(s.strip() for s in tcfg.bcr_ops.split(",") if s.strip())
 
     def aug_keys(rng, count):
         ka = jax.random.fold_in(rng, 0x41444121)
         if axis_name is not None:
             ka = jax.random.fold_in(ka, jax.lax.axis_index(axis_name))
         return jax.random.split(ka, count)
+
+    def bcr_key(rng):
+        # bCR's augmentation draws: ADA's key discipline (replica-folded
+        # under shard_map) on a disjoint stream.
+        return aug_keys(jax.random.fold_in(rng, 0x424352), 1)[0]
 
     # R1/GP are grad-of-grad; the Pallas attention's custom_vjp is first-
     # order only, so the penalties run through an XLA-path discriminator
@@ -123,6 +136,44 @@ def make_train_step(
         if axis_name is None:
             return tree
         return jax.lax.pmean(tree, axis_name)
+
+    def gmean(x):
+        """Global-batch mean of a per-sample vector: under shard_map the
+        local mean is pmean'd (all replicas hold equal local counts), under
+        GSPMD jnp.mean already sees the global batch. Differentiable —
+        cross-replica gradient terms flow back through pmean's transpose
+        (psum), so losses built on these means stay mesh-invariant."""
+        return pmean(jnp.mean(x.astype(jnp.float32)))
+
+    def g_adv(fake_logits, real_logits_fn=None):
+        """Adversarial G term for the configured family. Relativistic
+        losses (ragan/rahinge) call `real_logits_fn()` for D(real) under
+        the same d_params the fake logits used. Top-k training (arXiv
+        2002.06224, tcfg.topk_fraction < 1) averages the per-sample loss
+        only over the GLOBAL-batch top-k fake logits — the threshold comes
+        from the full batch in every backend (all_gather of N scalars
+        under shard_map), so single-device == GSPMD == shard_map; ties at
+        the threshold are included and the mean renormalized by the true
+        mask count in all backends alike."""
+        if relativistic:
+            return g_loss_of(fake_logits, real_logits_fn(), gmean)
+        if per_sample_of is None:
+            return g_loss_of(fake_logits)
+        per = per_sample_of(fake_logits)
+        fl = fake_logits.astype(jnp.float32).reshape(-1)
+        if axis_name is None:
+            k = max(1, int(round(fl.shape[0] * tcfg.topk_fraction)))
+            thresh = jax.lax.top_k(fl, k)[0][-1]
+            mask = (fl >= thresh).astype(jnp.float32)
+            return jnp.sum(per.reshape(-1) * mask) / jnp.sum(mask)
+        glob = jax.lax.all_gather(fl, axis_name).reshape(-1)
+        k = max(1, int(round(glob.shape[0] * tcfg.topk_fraction)))
+        thresh = jax.lax.top_k(glob, k)[0][-1]
+        mask = (fl >= thresh).astype(jnp.float32)
+        denom = jax.lax.psum(jnp.sum(mask), axis_name)
+        # axis_size * local_sum / global_count: the later grad/metric pmean
+        # over replicas turns this into exactly the global masked mean.
+        return axis_size * jnp.sum(per.reshape(-1) * mask) / denom
 
     # Latent/label sampling under shard_map: every replica draws the SAME
     # global batch (the key is replicated) and slices its own rows, making
@@ -164,10 +215,13 @@ def make_train_step(
             return _local_rows(eps, n)
 
     def d_loss_with_aux(d_params, real, labels, fake, fake_labels, step,
-                        k_gp=None):
+                        k_gp=None, k_bcr=None):
         real_logits = gan.discriminator.apply(d_params, real, labels)
         fake_logits = gan.discriminator.apply(d_params, fake, fake_labels)
-        loss = d_loss_of(real_logits, fake_logits)
+        if relativistic:
+            loss = d_loss_of(real_logits, fake_logits, gmean)
+        else:
+            loss = d_loss_of(real_logits, fake_logits)
         aux = {
             "real_logits": jnp.mean(real_logits),
             "fake_logits": jnp.mean(fake_logits),
@@ -176,6 +230,31 @@ def make_train_step(
             # ADA overfitting heuristic r_t = E[sign(D(real))] (the
             # portion of (augmented) reals D classifies as real)
             aux["ada_r"] = jnp.mean(jnp.sign(real_logits))
+        if bcr_on:
+            # Balanced consistency regularization (arXiv 2002.04724 §3):
+            # D must score x and T(x) alike, for reals AND fakes. The
+            # un-augmented logits are the main loss's tensors (free); the
+            # two extra D forwards are the feature's cost. D-only — the
+            # G step never differentiates through this term (its `fake`
+            # is already stop_gradient'd on this path).
+            kr, kf = jax.random.split(k_bcr)
+            rl_t = gan.discriminator.apply(
+                d_params, augment_pipeline(kr, real, tcfg.bcr_p, bcr_ops),
+                labels,
+            )
+            fl_t = gan.discriminator.apply(
+                d_params, augment_pipeline(kf, fake, tcfg.bcr_p, bcr_ops),
+                fake_labels,
+            )
+            bcr = jnp.mean(
+                (real_logits.astype(jnp.float32) - rl_t.astype(jnp.float32))
+                ** 2
+            ) + jnp.mean(
+                (fake_logits.astype(jnp.float32) - fl_t.astype(jnp.float32))
+                ** 2
+            )
+            aux["bcr"] = bcr
+            loss = loss + tcfg.bcr_gamma * bcr
         if tcfg.logit_penalty > 0.0:
             # drift penalty (ProGAN §A.1): bounds |D(real)| so the game
             # can't saturate into softplus's flat region
@@ -413,7 +492,7 @@ def make_train_step(
             # real — D's actual input — matching the ADA paper.
             return d_loss_with_aux(
                 d_params, real_in, labels, fake_d_in, fake_labels_d,
-                state.step, k_gp
+                state.step, k_gp, bcr_key(rng)
             )
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -429,8 +508,12 @@ def make_train_step(
             fake = gan.generator.apply(g_params, z_g, fake_labels_g)
             if aug_on:  # gradient flows through the augmentation
                 fake = augment_pipeline(ka_g, fake, state.ada_p)
-            loss = g_loss_of(
-                gan.discriminator.apply(d_params, fake, fake_labels_g)
+            loss = g_adv(
+                gan.discriminator.apply(d_params, fake, fake_labels_g),
+                # relativistic only: D(real) under the UPDATED d_params —
+                # a genuine extra forward on this flavor (the D step's
+                # real forward used the pre-update params).
+                lambda: gan.discriminator.apply(d_params, real_in, labels),
             )
             reg, g_aux = g_reg(g_params, z_g, fake_labels_g, state.step,
                                rng, state.pl_mean)
@@ -478,7 +561,7 @@ def make_train_step(
 
             def d_loss_fn(p):
                 return d_loss_with_aux(p, real_in, labels_i, fake_in, flab,
-                                       state.step, k_gp)
+                                       state.step, k_gp, bcr_key(ri))
 
             (d_loss, d_aux), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
@@ -505,11 +588,12 @@ def make_train_step(
         fake_labels_g = sample_labels(k_lg, n)
         if aug_on:
             ka_g = aug_keys(rng, 3)[2]  # distinct from every critic family
-        # FM's real side: the LAST critic batch, under the augmentation D
-        # actually saw (recomputed outside the scan — elementwise-cheap)
+        # FM's / the relativistic G loss's real side: the LAST critic
+        # batch, under the augmentation D actually saw (recomputed outside
+        # the scan — elementwise-cheap)
         real_fm, labels_fm = real[-1], (labels[-1] if labels is not None
                                         else None)
-        if aug_on and tcfg.feature_matching > 0.0:
+        if aug_on and (tcfg.feature_matching > 0.0 or relativistic):
             ka_r_last = aug_keys(jax.random.fold_in(rng, c - 1), 3)[0]
             real_fm = augment_pipeline(ka_r_last, real_fm, state.ada_p)
 
@@ -517,8 +601,9 @@ def make_train_step(
             fake = gan.generator.apply(g_params, z_g, fake_labels_g)
             if aug_on:
                 fake = augment_pipeline(ka_g, fake, state.ada_p)
-            loss = g_loss_of(
-                gan.discriminator.apply(d_params, fake, fake_labels_g)
+            loss = g_adv(
+                gan.discriminator.apply(d_params, fake, fake_labels_g),
+                lambda: gan.discriminator.apply(d_params, real_fm, labels_fm),
             )
             reg, g_aux = g_reg(g_params, z_g, fake_labels_g, state.step,
                                rng, state.pl_mean)
@@ -560,15 +645,19 @@ def make_train_step(
                 maybe_aug_fake(gan.generator.apply(state.g_params, z, fake_labels))
             )
             return d_loss_with_aux(d_params, real_in, labels, fake,
-                                   fake_labels, state.step, k_gp)
+                                   fake_labels, state.step, k_gp,
+                                   bcr_key(rng))
 
         def g_loss_fn(g_params):
             fake = maybe_aug_fake(gan.generator.apply(g_params, z, fake_labels))
             # current (pre-update) D: simultaneous gradients; the forward
             # here is identical HLO to the one in d_loss_fn -> XLA CSE
-            # computes G(z) and D(fake) once for both losses.
-            loss = g_loss_of(
-                gan.discriminator.apply(state.d_params, fake, fake_labels)
+            # computes G(z) and D(fake) once for both losses (and, for
+            # relativistic losses, D(real) too — CSE-free on this flavor).
+            loss = g_adv(
+                gan.discriminator.apply(state.d_params, fake, fake_labels),
+                lambda: gan.discriminator.apply(state.d_params, real_in,
+                                                labels),
             )
             reg, g_aux = g_reg(g_params, z, fake_labels, state.step,
                                rng, state.pl_mean)
