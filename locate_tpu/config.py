@@ -89,12 +89,40 @@ class StyleConfig:
     # Demodulate styled conv weights (the paper's replacement for AdaIN's
     # instance norm). Disable for a pure modulation ablation.
     demodulate: bool = True
+    # Style mixing regularization (StyleGAN arXiv 1812.04948 §3.1): with
+    # this probability per sample, TRAINING forwards use two independent
+    # latents — synthesis layers below a uniformly-drawn crossover take
+    # w(z1), the rest w(z2) — so adjacent styles stay independently
+    # usable. Train-step-only (sampling/eval/export keep the single-w
+    # apply); the second latent and crossover follow the latent
+    # global-draw discipline, so DP == single-device holds with mixing
+    # on. 0 disables; the papers use 0.9.
+    mixing_prob: float = 0.0
+    # Per-layer noise injection after each synthesis conv (StyleGAN
+    # §3.2, StyleGAN2 §B): "none" (default — apply stays a pure function
+    # of (params, z, labels)), "const" (one fixed per-layer noise plane —
+    # deterministic texture carrier), "random" (fresh noise each TRAINING
+    # forward; plain apply — sampling/eval — falls back to the const
+    # plane, StyleGAN's noise_mode="const" convention). Non-"none" adds a
+    # learned per-conv `noise_strength` scalar, init 0, so the enabled
+    # model starts exactly at the disabled one. Random draws are
+    # replica-local under shard_map (like ADA's); GSPMD keeps DP ==
+    # single-device.
+    noise: str = "none"
 
     def __post_init__(self):
         if self.mapping_layers < 1:
             raise ValueError("style.mapping_layers must be >= 1")
         if self.mapping_lr_mul <= 0.0:
             raise ValueError("style.mapping_lr_mul must be > 0")
+        if not 0.0 <= self.mixing_prob <= 1.0:
+            raise ValueError(
+                f"style.mixing_prob must be in [0, 1], got {self.mixing_prob}"
+            )
+        if self.noise not in ("none", "const", "random"):
+            raise ValueError(
+                f"style.noise must be none/const/random, got {self.noise!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,6 +383,13 @@ class TrainConfig:
     # augment_p is then the initial p.
     ada_target: float = 0.0
     ada_speed_kimg: int = 500
+    # Augmentation categories the ADA pipeline applies (comma-separated;
+    # ops/augment.py): "geom" (flip/rot90/integer-translate), "affine"
+    # (ADA's general geometric group — iso/aniso scaling, arbitrary
+    # rotation, fractional translation via one bilinear warp), "color",
+    # "cutout". "affine" is opt-in (bilinear, not ADA's anti-aliased
+    # resampling; default trajectories unchanged).
+    augment_ops: str = "geom,color,cutout"
     seed: int = 0
     log_every: int = 100
     sample_every: int = 2000
@@ -402,12 +437,15 @@ class TrainConfig:
             raise ValueError(f"bcr_gamma must be >= 0, got {self.bcr_gamma}")
         if not 0.0 <= self.bcr_p <= 1.0:
             raise ValueError(f"bcr_p must be in [0, 1], got {self.bcr_p}")
-        bad = [s for s in self.bcr_ops.split(",")
-               if s.strip() not in ("geom", "color", "cutout", "")]
-        if bad:
-            raise ValueError(
-                f"bcr_ops categories {bad} unknown (geom/color/cutout)"
-            )
+        cats = ("geom", "affine", "color", "cutout", "")
+        for field_name in ("bcr_ops", "augment_ops"):
+            bad = [s for s in getattr(self, field_name).split(",")
+                   if s.strip() not in cats]
+            if bad:
+                raise ValueError(
+                    f"{field_name} categories {bad} unknown "
+                    "(geom/affine/color/cutout)"
+                )
         if self.logit_penalty < 0.0:
             raise ValueError(
                 f"logit_penalty must be >= 0, got {self.logit_penalty}"

@@ -25,11 +25,17 @@ from locate_tpu.ops.norm import make_norm
 @dataclasses.dataclass(frozen=True)
 class Generator:
     """Explicit-pytree generator: `init(key) -> params`,
-    `apply(params, z[, labels]) -> images` (NHWC in [-1, 1])."""
+    `apply(params, z[, labels]) -> images` (NHWC in [-1, 1]).
+
+    Style-family extras (None/0 for the locate family): `apply_mixed`
+    (per-layer style-mixing forward, models/style_generator.py) and
+    `num_ws` (its styled-layer count — the crossover index space)."""
 
     config: ModelConfig
     init: Callable[[jax.Array], Any]
     apply: Callable[..., jax.Array]
+    apply_mixed: Optional[Callable[..., jax.Array]] = None
+    num_ws: int = 0
 
     def __call__(self, params, z, labels=None):
         return self.apply(params, z, labels)

@@ -23,14 +23,24 @@ fuses the two elementwise scales into its input/output. The equality with
 the per-sample-weight form is pinned by a literal PyTorch grouped-conv twin
 (tests/test_style.py).
 
-Deliberate v1 simplifications (documented, not silent):
-  * one w per sample shared by all layers (no per-layer style mixing);
-  * no per-pixel noise injection — `apply` stays a pure function of
-    (params, z, labels), which the whole framework's determinism story
-    (bitwise resume, DP==single-device trajectory tests) relies on.
-Each would be an additive change (extra apply kwargs), none removes
-capability elsewhere. W-space truncation IS provided for sampling
-(`apply_truncated` / `w_average`; CLI `sample --truncation-psi`).
+Training-time stochasticity (round-3 additions, both OFF by default so the
+plain family keeps its pure `apply`):
+  * per-layer STYLE MIXING (`style.mixing_prob`, StyleGAN arXiv 1812.04948
+    §3.1): `apply_mixed(params, z1, z2, cut, labels)` runs synthesis with
+    per-layer w — layers below each sample's crossover `cut` take w(z1),
+    the rest w(z2). The train step draws z2/cut with the latent
+    global-draw discipline (mesh-invariant); sampling/eval keep the
+    single-w apply.
+  * per-layer NOISE INJECTION (`style.noise`, StyleGAN §3.2): each
+    synthesis conv adds `noise_strength * noise` before its activation
+    (strength a learned scalar, init 0 — the enabled model starts exactly
+    at the disabled one). "const" uses a fixed per-layer plane (pure
+    apply preserved); "random" draws fresh per-sample noise when the
+    caller passes `noise_rng` (the train step) and falls back to the
+    const plane otherwise (StyleGAN's noise_mode="const" eval
+    convention).
+W-space truncation is provided for sampling (`apply_truncated` /
+`w_average`; CLI `sample --truncation-psi`).
 Rationale: docs/DESIGN.md "Style family".
 """
 
@@ -105,17 +115,33 @@ def modulated_conv2d(params, x, wlat, demodulate=True, eps=1e-8):
     return y + params["b"].astype(cd)
 
 
-def modulated_conv2d_init(key, w_dim, cin, cout, kernel, w_std=1.0):
+def modulated_conv2d_init(key, w_dim, cin, cout, kernel, w_std=1.0,
+                          noise=False):
     """`w_std` scales the N(0,1) equalized init — 1.0 everywhere except the
     tanh to-RGB head, which must start near-linear (saturated tanh at init
-    kills early gradients; mirrors nn/blocks.to_rgb's 0.02-stddev init)."""
+    kills early gradients; mirrors nn/blocks.to_rgb's 0.02-stddev init).
+    `noise` adds the learned noise-injection strength scalar (init 0:
+    identity at init; no extra key draws, so enabling noise never shifts
+    the other parameters' init streams)."""
     ka, kw_ = jax.random.split(key)
-    return {
+    p = {
         "affine": eq_dense_init(ka, w_dim, cin, bias_init=1.0),
         "w": w_std
         * jax.random.normal(kw_, (kernel, kernel, cin, cout), jnp.float32),
         "b": jnp.zeros((cout,), jnp.float32),
     }
+    if noise:
+        p["noise_strength"] = jnp.zeros((), jnp.float32)
+    return p
+
+
+def _const_noise_plane(li: int, h: int, w: int) -> jax.Array:
+    """The fixed per-layer noise plane for "const" mode (and the eval-time
+    fallback of "random" mode): a function of the layer index only — a
+    compile-time constant under jit, identical across calls/hosts/meshes.
+    Built lazily so importing the module never initializes a backend."""
+    key = jax.random.fold_in(jax.random.PRNGKey(0x4E4F4953), li)
+    return jax.random.normal(key, (h, w, 1), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -153,8 +179,11 @@ def make_style_fns(
 ) -> dict:
     """The family's building blocks as separate pure functions:
     {"init", "mapping" (params, z, labels) -> w, "synthesis"
-    (params, w) -> images}. `build_style_generator` composes them into
-    the standard contract; w-space tools (truncation) use them directly."""
+    (params, w [, noise_rng]) -> images, "num_ws"}. `build_style_generator`
+    composes them into the standard contract; w-space tools (truncation)
+    use them directly. `synthesis` takes w as (N, D) — one style for all
+    layers — or (N, num_ws, D) — per-layer styles, the style-mixing form
+    (layer order: stage-major conv order, to-RGB last)."""
     scfg = cfg.style
     w_dim = scfg.w_dim or cfg.latent_dim
     chans = cfg.stage_channels()
@@ -173,6 +202,11 @@ def make_style_fns(
         for i in range(len(chans))
         if cfg.attention_at(resolutions[i])
     }
+
+    # Styled-layer count and order (the style-mixing index space): stage-
+    # major conv order, the to-RGB conv last.
+    noise_on = scfg.noise != "none"
+    num_ws = len(chans) * cfg.blocks_per_stage + 1
 
     def init(key):
         keys = jax.random.split(key, 6)
@@ -202,6 +236,7 @@ def make_style_fns(
                     cin if j == 0 else cout,
                     cout,
                     cfg.kernel_size,
+                    noise=noise_on,
                 )
                 for j in range(cfg.blocks_per_stage)
             ]
@@ -217,15 +252,34 @@ def make_style_fns(
                                          cfg.img_channels, 1, w_std=0.05),
         }
 
-    def stage_apply(stage_params, x, wlat, i):
+    def w_at(wlat, li):
+        """The style for global layer index `li`: (N, D) wlat is shared by
+        all layers; (N, num_ws, D) is the per-layer (mixed) form."""
+        return wlat if wlat.ndim == 2 else wlat[:, li]
+
+    def stage_apply(stage_params, x, wlat, kn, i):
+        """One synthesis stage. `kn`: per-stage noise key (None for const/
+        no-noise — static, part of the traced signature)."""
         if i > 0:
             n, h, w, c = x.shape
             x = jnp.broadcast_to(
                 x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
             ).reshape(n, 2 * h, 2 * w, c)
-        for conv_p in stage_params["convs"]:
-            x = act_fn(modulated_conv2d(conv_p, x, wlat,
-                                        demodulate=scfg.demodulate))
+        for j, conv_p in enumerate(stage_params["convs"]):
+            li = i * cfg.blocks_per_stage + j
+            y = modulated_conv2d(conv_p, x, w_at(wlat, li),
+                                 demodulate=scfg.demodulate)
+            if noise_on:
+                n_, h_, w_, _ = y.shape
+                if kn is not None:  # "random": fresh per-sample planes
+                    nz = jax.random.normal(
+                        jax.random.fold_in(kn, j), (n_, h_, w_, 1),
+                        jnp.float32,
+                    )
+                else:  # "const" (and "random"'s eval fallback)
+                    nz = _const_noise_plane(li, h_, w_)[None]
+                y = y + (conv_p["noise_strength"] * nz).astype(y.dtype)
+            x = act_fn(y)
         if i in attn_layers:
             x = attn_layers[i].apply(stage_params["attn"], x)
         return x
@@ -233,36 +287,62 @@ def make_style_fns(
     def mapping(params, z, labels=None):
         return mapping_apply(params["mapping"], z, cfg, act_fn, labels)
 
-    def synthesis(params, wlat, dtype=None):
+    def synthesis(params, wlat, dtype=None, noise_rng=None):
         cd = compute_dtype or dtype or jnp.float32
         n = wlat.shape[0]
         x = jnp.broadcast_to(
             params["const"].astype(cd)[None], (n, 4, 4, chans[0])
         )
+        rand_noise = scfg.noise == "random" and noise_rng is not None
         body = stage_apply
         if cfg.remat:
-            body = jax.checkpoint(stage_apply, static_argnums=(3,))
+            body = jax.checkpoint(stage_apply, static_argnums=(4,))
         for i, sp in enumerate(params["stages"]):
-            x = body(sp, x, wlat, i)
-        # Styled to-RGB (1x1, no demod — StyleGAN2 §B) + the framework's
-        # tanh range contract ([-1, 1], fp32 tail like nn/blocks.to_rgb).
-        y = modulated_conv2d(params["rgb"], x, wlat, demodulate=False)
+            kn = jax.random.fold_in(noise_rng, i) if rand_noise else None
+            x = body(sp, x, wlat, kn, i)
+        # Styled to-RGB (1x1, no demod — StyleGAN2 §B; no noise, also §B)
+        # + the framework's tanh range contract ([-1, 1], fp32 tail like
+        # nn/blocks.to_rgb).
+        y = modulated_conv2d(params["rgb"], x, w_at(wlat, num_ws - 1),
+                             demodulate=False)
         return jnp.tanh(y.astype(jnp.float32)).astype(cd)
 
-    return {"init": init, "mapping": mapping, "synthesis": synthesis}
+    return {"init": init, "mapping": mapping, "synthesis": synthesis,
+            "num_ws": num_ws}
 
 
 def build_style_generator(
     cfg: ModelConfig, compute_dtype: Optional[jnp.dtype] = None
 ) -> Generator:
-    """Style-family generator under the standard `Generator` contract."""
+    """Style-family generator under the standard `Generator` contract,
+    plus the family's training-time extensions:
+
+      apply(params, z, labels=None, *, noise_rng=None)
+        — noise_rng only matters for style.noise="random" (fresh noise);
+          without it the const plane is used, keeping sampling/eval/export
+          deterministic.
+      apply_mixed(params, z1, z2, cut, labels=None, *, noise_rng=None)
+        — style-mixing forward: `cut` is (N,) int32 in [0, num_ws]; layer
+          l takes w(z1) if l < cut_i else w(z2) (cut == num_ws: pure z1).
+    """
     fns = make_style_fns(cfg, compute_dtype)
+    num_ws = fns["num_ws"]
 
-    def apply(params, z, labels=None):
+    def apply(params, z, labels=None, *, noise_rng=None):
         wlat = fns["mapping"](params, z, labels)
-        return fns["synthesis"](params, wlat, dtype=z.dtype)
+        return fns["synthesis"](params, wlat, dtype=z.dtype,
+                                noise_rng=noise_rng)
 
-    return Generator(config=cfg, init=fns["init"], apply=apply)
+    def apply_mixed(params, z1, z2, cut, labels=None, *, noise_rng=None):
+        w1 = fns["mapping"](params, z1, labels)
+        w2 = fns["mapping"](params, z2, labels)
+        take1 = (jnp.arange(num_ws)[None, :] < cut[:, None])[..., None]
+        ws = jnp.where(take1, w1[:, None, :], w2[:, None, :])
+        return fns["synthesis"](params, ws, dtype=z1.dtype,
+                                noise_rng=noise_rng)
+
+    return Generator(config=cfg, init=fns["init"], apply=apply,
+                     apply_mixed=apply_mixed, num_ws=num_ws)
 
 
 def w_average(

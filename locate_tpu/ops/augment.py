@@ -26,12 +26,25 @@ Ops (each applied independently with probability p, per sample):
   brightness (x + b, b~N(0,0.2)); contrast about the per-sample mean
   (c = 2^N(0,0.5)); saturation about the per-pixel luma (RGB only,
   s = 2^N(0,1)); cutout (H/2 × W/2 box of zeros = mid-gray).
+
+The opt-in "affine" category completes ADA's GENERAL GEOMETRIC group
+(arXiv 2006.06676 App. B): isotropic scaling (2^N(0,0.2)), arbitrary
+rotation (U(-π,π)), anisotropic scaling (2^N(0,0.2), area-preserving),
+and fractional translation (N(0,0.125)·size) — composed into ONE
+per-sample inverse affine and resolved by a single bilinear gather with
+reflection padding (`affine_warp`). Documented deviation from ADA: plain
+bilinear resampling instead of the paper's wavelet-filtered
+(anti-aliased) resampling — the geometry matches, high-frequency
+aliasing does not. Off the default `ops` so existing trajectories are
+unchanged; enable via train.augment_ops.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+CATEGORIES = ("geom", "affine", "color", "cutout")
 
 
 def augment_pipeline(
@@ -45,19 +58,100 @@ def augment_pipeline(
     contains the blended ops); callers disable augmentation structurally
     by not calling this at all. `ops` selects op CATEGORIES (static —
     changes the compiled program), mirroring ADA's category switches:
-    "geom" (flip/rot90/translate), "color" (brightness/contrast/
+    "geom" (flip/rot90/translate), "affine" (scale/rotate/aniso/frac-
+    translate — see module docstring), "color" (brightness/contrast/
     saturation), "cutout". Key splits are fixed per op regardless of the
-    subset, so a category's draws don't shift when another is disabled.
+    subset (the affine keys fold off a disjoint stream), so a category's
+    draws don't shift when another is toggled.
     """
     p = jnp.asarray(p, jnp.float32)
     ks = jax.random.split(key, 14)
     if "geom" in ops:
         x = _blit(ks, p, x)
+    if "affine" in ops:
+        x = _affine(jax.random.fold_in(key, 0xAFF1), p, x)
     if "color" in ops:
         x = _color(ks, p, x)
     if "cutout" in ops:
         x = _cutout(ks, p, x)
     return x
+
+
+def affine_warp(x, scale, theta, aniso, tx, ty):
+    """Per-sample affine resampling about the image center: the FORWARD
+    model is p_out = R(theta) @ diag(scale*aniso, scale/aniso) @ p_src +
+    (tx, ty) (pixels); each output pixel bilinearly samples the inverse-
+    mapped source location, reflection-padded. All parameters are (N,)
+    fp32; identity is (1, 0, 1, 0, 0) — and exact (the lerp weights
+    collapse to the corner sample). Differentiable in `x` (the lerp is
+    linear in the gathered values)."""
+    n, h, w, _ = x.shape
+    dtype = x.dtype
+    sx = (scale * aniso)[:, None, None]
+    sy = (scale / aniso)[:, None, None]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None] - cy
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :] - cx
+    px = xx - tx[:, None, None]
+    py = yy - ty[:, None, None]
+    cos = jnp.cos(theta)[:, None, None]
+    sin = jnp.sin(theta)[:, None, None]
+    # R(-theta) then the inverse scales
+    src_x = (cos * px + sin * py) / sx + cx
+    src_y = (-sin * px + cos * py) / sy + cy
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    fx = (src_x - x0)[..., None]
+    fy = (src_y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def ref(i, size):  # reflect-101-style: period 2*size-2 triangle wave
+        if size == 1:
+            return jnp.zeros_like(i)
+        m = 2 * size - 2
+        i = jnp.mod(i, m)
+        return jnp.where(i >= size, m - i, i)
+
+    bidx = jnp.arange(n)[:, None, None]
+
+    def g(yi, xi):
+        return x[bidx, ref(yi, h), ref(xi, w)].astype(jnp.float32)
+
+    out = (
+        g(y0, x0) * (1 - fy) * (1 - fx)
+        + g(y0, x0 + 1) * (1 - fy) * fx
+        + g(y0 + 1, x0) * fy * (1 - fx)
+        + g(y0 + 1, x0 + 1) * fy * fx
+    )
+    return out.astype(dtype)
+
+
+def _affine(key, p, x):
+    n = x.shape[0]
+    h, w = x.shape[1], x.shape[2]
+    ks = jax.random.split(key, 9)
+    one = jnp.ones((n,), jnp.float32)
+    iso = jnp.where(
+        jax.random.bernoulli(ks[0], p, (n,)),
+        jnp.exp2(jax.random.normal(ks[1], (n,), jnp.float32) * 0.2), one,
+    )
+    theta = jnp.where(
+        jax.random.bernoulli(ks[2], p, (n,)),
+        jax.random.uniform(ks[3], (n,), jnp.float32, -jnp.pi, jnp.pi), 0.0,
+    )
+    aniso = jnp.where(
+        jax.random.bernoulli(ks[4], p, (n,)),
+        jnp.exp2(jax.random.normal(ks[5], (n,), jnp.float32) * 0.2), one,
+    )
+    t_on = jax.random.bernoulli(ks[6], p, (n,))
+    tx = jnp.where(
+        t_on, jax.random.normal(ks[7], (n,), jnp.float32) * 0.125 * w, 0.0
+    )
+    ty = jnp.where(
+        t_on, jax.random.normal(ks[8], (n,), jnp.float32) * 0.125 * h, 0.0
+    )
+    return affine_warp(x, iso, theta, aniso, tx, ty)
 
 
 def _blit(ks, p, x):

@@ -74,6 +74,14 @@ def make_train_step(
     per_sample_of = (
         g_per_sample(tcfg.loss) if tcfg.topk_fraction < 1.0 else None
     )
+    # Style-family training-time stochasticity (models/style_generator.py):
+    # mixing draws (second latent + crossover) follow the latent
+    # global-draw + local-slice discipline (mesh-invariant); random-noise
+    # draws follow ADA's replica-folded keys (GSPMD DP == single-device;
+    # shard_map documented divergence, like the aug draws).
+    scfg = gan.config.style
+    style_mixing = gan.config.arch == "style" and scfg.mixing_prob > 0.0
+    g_rng_noise = gan.config.arch == "style" and scfg.noise == "random"
     conditional = gan.config.num_classes > 0
     # Discriminator augmentation (ADA, ops/augment.py): D only ever sees
     # aug(x); the G step backprops through the augmentation of its fakes.
@@ -88,6 +96,9 @@ def make_train_step(
     if aug_on or bcr_on:
         from locate_tpu.ops.augment import augment_pipeline
     bcr_ops = tuple(s.strip() for s in tcfg.bcr_ops.split(",") if s.strip())
+    ada_ops = tuple(
+        s.strip() for s in tcfg.augment_ops.split(",") if s.strip()
+    )
 
     def aug_keys(rng, count):
         ka = jax.random.fold_in(rng, 0x41444121)
@@ -181,6 +192,14 @@ def make_train_step(
     # (up to psum reduction order) — the same z stream regardless of mesh.
     # The draw is O(global_batch x latent_dim), trivially cheap next to a
     # conv forward.
+    def _draw_mix_cut(key, m):
+        # per-sample crossover: with prob mixing_prob a uniform layer in
+        # [1, num_ws-1]; otherwise num_ws (= every layer from z1, no mix)
+        ku, kl = jax.random.split(key)
+        mix = jax.random.uniform(ku, (m,)) < scfg.mixing_prob
+        layer = jax.random.randint(kl, (m,), 1, gan.generator.num_ws)
+        return jnp.where(mix, layer, gan.generator.num_ws).astype(jnp.int32)
+
     if axis_name is None:
         _cb = constrain_batch or (lambda x: x)
 
@@ -193,6 +212,9 @@ def make_train_step(
 
         def sample_gp_eps(key, n):
             return _cb(jax.random.uniform(key, (n, 1, 1, 1), jnp.float32))
+
+        def sample_mix_cut(key, n):
+            return _cb(_draw_mix_cut(key, n))
     else:
 
         def _local_rows(arr, n_local):
@@ -213,6 +235,32 @@ def make_train_step(
                 key, (n * axis_size, 1, 1, 1), jnp.float32
             )
             return _local_rows(eps, n)
+
+        def sample_mix_cut(key, n):
+            return _local_rows(_draw_mix_cut(key, n * axis_size), n)
+
+    def g_apply_train(g_params, z, labels, key):
+        """TRAINING-time generator forward: style mixing and/or random
+        noise injection for the style family when configured; the plain
+        apply otherwise (and always for the locate family). `key` is the
+        forward's latent key — mixing/noise streams fold off it, so
+        share_latents / the fused flavor's shared-forward CSE still hold
+        (same key -> identical HLO)."""
+        if not (style_mixing or g_rng_noise):
+            return gan.generator.apply(g_params, z, labels)
+        kw = {}
+        if g_rng_noise:
+            kn = jax.random.fold_in(key, 0x4E5A31)
+            if axis_name is not None:
+                kn = jax.random.fold_in(kn, jax.lax.axis_index(axis_name))
+            kw["noise_rng"] = kn
+        if style_mixing:
+            n = z.shape[0]
+            z2 = sample_latents(jax.random.fold_in(key, 0x4D5832), n)
+            cut = sample_mix_cut(jax.random.fold_in(key, 0x4D5833), n)
+            return gan.generator.apply_mixed(g_params, z, z2, cut, labels,
+                                             **kw)
+        return gan.generator.apply(g_params, z, labels, **kw)
 
     def d_loss_with_aux(d_params, real, labels, fake, fake_labels, step,
                         k_gp=None, k_bcr=None):
@@ -476,12 +524,12 @@ def make_train_step(
         z_d = sample_latents(k_zd, n)
         fake_labels_d = sample_labels(k_ld, n)
         fake_d = jax.lax.stop_gradient(
-            gan.generator.apply(state.g_params, z_d, fake_labels_d)
+            g_apply_train(state.g_params, z_d, fake_labels_d, k_zd)
         )
         if aug_on:
             ka_r, ka_f, ka_g = aug_keys(rng, 3)
-            real_in = augment_pipeline(ka_r, real, state.ada_p)
-            fake_d_in = augment_pipeline(ka_f, fake_d, state.ada_p)
+            real_in = augment_pipeline(ka_r, real, state.ada_p, ada_ops)
+            fake_d_in = augment_pipeline(ka_f, fake_d, state.ada_p, ada_ops)
         else:
             real_in, fake_d_in = real, fake_d
 
@@ -505,9 +553,9 @@ def make_train_step(
 
         def g_loss_fn(g_params):
             # through the *updated* D: alternating semantics
-            fake = gan.generator.apply(g_params, z_g, fake_labels_g)
+            fake = g_apply_train(g_params, z_g, fake_labels_g, k_zg)
             if aug_on:  # gradient flows through the augmentation
-                fake = augment_pipeline(ka_g, fake, state.ada_p)
+                fake = augment_pipeline(ka_g, fake, state.ada_p, ada_ops)
             loss = g_adv(
                 gan.discriminator.apply(d_params, fake, fake_labels_g),
                 # relativistic only: D(real) under the UPDATED d_params —
@@ -546,15 +594,16 @@ def make_train_step(
             real_i, i = xs["real"], xs["i"]
             labels_i = xs.get("label")
             ri = jax.random.fold_in(rng, i)  # per-critic-step key family
-            z = sample_latents(jax.random.fold_in(ri, 1), n)
+            kz = jax.random.fold_in(ri, 1)
+            z = sample_latents(kz, n)
             flab = sample_labels(jax.random.fold_in(ri, 2), n)
             fake = jax.lax.stop_gradient(
-                gan.generator.apply(state.g_params, z, flab)
+                g_apply_train(state.g_params, z, flab, kz)
             )
             if aug_on:
                 ka_r, ka_f, _ = aug_keys(ri, 3)
-                real_in = augment_pipeline(ka_r, real_i, state.ada_p)
-                fake_in = augment_pipeline(ka_f, fake, state.ada_p)
+                real_in = augment_pipeline(ka_r, real_i, state.ada_p, ada_ops)
+                fake_in = augment_pipeline(ka_f, fake, state.ada_p, ada_ops)
             else:
                 real_in, fake_in = real_i, fake
             k_gp = jax.random.fold_in(ri, 0x47504750)
@@ -595,12 +644,12 @@ def make_train_step(
                                         else None)
         if aug_on and (tcfg.feature_matching > 0.0 or relativistic):
             ka_r_last = aug_keys(jax.random.fold_in(rng, c - 1), 3)[0]
-            real_fm = augment_pipeline(ka_r_last, real_fm, state.ada_p)
+            real_fm = augment_pipeline(ka_r_last, real_fm, state.ada_p, ada_ops)
 
         def g_loss_fn(g_params):
-            fake = gan.generator.apply(g_params, z_g, fake_labels_g)
+            fake = g_apply_train(g_params, z_g, fake_labels_g, k_zg)
             if aug_on:
-                fake = augment_pipeline(ka_g, fake, state.ada_p)
+                fake = augment_pipeline(ka_g, fake, state.ada_p, ada_ops)
             loss = g_adv(
                 gan.discriminator.apply(d_params, fake, fake_labels_g),
                 lambda: gan.discriminator.apply(d_params, real_fm, labels_fm),
@@ -628,7 +677,7 @@ def make_train_step(
         fake_labels = sample_labels(k_l, n)
         if aug_on:
             ka_r, ka_f = aug_keys(rng, 2)
-            real_in = augment_pipeline(ka_r, real, state.ada_p)
+            real_in = augment_pipeline(ka_r, real, state.ada_p, ada_ops)
         else:
             real_in = real
 
@@ -636,20 +685,24 @@ def make_train_step(
             # shared draw between the D and G losses: the augmented fake
             # forward stays identical HLO in both, preserving the CSE that
             # makes the fused step fast
-            return augment_pipeline(ka_f, fake, state.ada_p) if aug_on else fake
+            return augment_pipeline(ka_f, fake, state.ada_p, ada_ops) if aug_on else fake
 
         k_gp = jax.random.fold_in(rng, 0x47504750)
 
         def d_loss_fn(d_params):
             fake = jax.lax.stop_gradient(
-                maybe_aug_fake(gan.generator.apply(state.g_params, z, fake_labels))
+                maybe_aug_fake(
+                    g_apply_train(state.g_params, z, fake_labels, k_z)
+                )
             )
             return d_loss_with_aux(d_params, real_in, labels, fake,
                                    fake_labels, state.step, k_gp,
                                    bcr_key(rng))
 
         def g_loss_fn(g_params):
-            fake = maybe_aug_fake(gan.generator.apply(g_params, z, fake_labels))
+            fake = maybe_aug_fake(
+                g_apply_train(g_params, z, fake_labels, k_z)
+            )
             # current (pre-update) D: simultaneous gradients; the forward
             # here is identical HLO to the one in d_loss_fn -> XLA CSE
             # computes G(z) and D(fake) once for both losses (and, for

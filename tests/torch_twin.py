@@ -273,22 +273,33 @@ def style_mapping_torch(params, z, cfg: ModelConfig, labels=None):
     return x
 
 
-def style_generator_forward(params, cfg: ModelConfig, z, labels=None):
+def style_generator_forward(params, cfg: ModelConfig, z, labels=None,
+                            ws=None, noise=None):
+    """`ws`: optional per-layer styles — a list of (n, w_dim) tensors in
+    the JAX side's global layer order (stage-major convs, to-RGB last) —
+    the style-mixing form. `noise`: optional per-layer noise planes (same
+    indexing, broadcastable to the conv output) added as
+    `noise_strength * plane` before each conv's activation."""
     resolutions = cfg.stage_resolutions()
     wlat = style_mapping_torch(params["mapping"], z, cfg, labels)
     n = z.shape[0]
+    w_at = (lambda li: wlat) if ws is None else (lambda li: ws[li])
     x = params["const"][None].expand(n, -1, -1, -1)
     for i, sp in enumerate(params["stages"]):
         if i > 0:
             x = upsample(x)
-        for conv_p in sp["convs"]:
-            x = _act_gain(
-                modulated_conv_torch(conv_p, x, wlat, cfg.style.demodulate),
-                cfg,
-            )
+        for j, conv_p in enumerate(sp["convs"]):
+            li = i * cfg.blocks_per_stage + j
+            y = modulated_conv_torch(conv_p, x, w_at(li),
+                                     cfg.style.demodulate)
+            if noise is not None:
+                y = y + conv_p["noise_strength"] * noise[li]
+            x = _act_gain(y, cfg)
         if cfg.attention_at(resolutions[i]):
             x = attention(sp["attn"], x, cfg)
-    y = modulated_conv_torch(params["rgb"], x, wlat, demodulate=False)
+    num_ws = len(params["stages"]) * cfg.blocks_per_stage + 1
+    y = modulated_conv_torch(params["rgb"], x, w_at(num_ws - 1),
+                             demodulate=False)
     return torch.tanh(y)
 
 
