@@ -442,8 +442,9 @@ def cmd_pack(argv: List[str]) -> int:
 def cmd_lsun_export(argv: List[str]) -> int:
     """Export an LSUN LMDB archive to an image folder
     (`lsun-export <lmdb_dir> <out_dir> [--limit N]`); the folder then
-    feeds `train data.dataset=folder` or the `pack` CLI. Needs the
-    `lmdb` package (gated import — see data/lsun.py)."""
+    feeds `train data.dataset=folder` or the `pack` CLI. Export is
+    optional — `data.dataset=lsun` trains from the archive directly via
+    the dependency-free reader (data/lmdb_reader.py)."""
     from locate_tpu.data.lsun import lsun_to_folder
 
     if len(argv) < 2:

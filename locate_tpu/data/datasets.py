@@ -261,6 +261,10 @@ def make_dataset(cfg) -> object:
         from locate_tpu.data.tfrecords import TFRecordImages
 
         return TFRecordImages(cfg.path, cfg.resolution, cfg.img_channels)
+    if cfg.dataset in ("lsun", "lmdb"):
+        from locate_tpu.data.lmdb_reader import LmdbImages
+
+        return LmdbImages(cfg.path, cfg.resolution, cfg.img_channels)
     if cfg.dataset == "packed":
         from locate_tpu.data.packed import PackedDataset
 

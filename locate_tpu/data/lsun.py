@@ -5,11 +5,13 @@ framework's `folder` dataset / `pack` CLI consume.
 
 SURVEY.md §1/§7: LSUN-bedroom 128^2 is BASELINE config 3 (the primary-
 metric tier), and the reference consumed it through torchvision's
-lmdb-backed dataset. This environment does not ship the `lmdb` package
-(and has no network), so the reader is import-gated with a clear error;
-the conversion itself is trivially resumable (files are content-keyed)
-and the rest of the input path — native decode, packing, per-host
-sharding — is format-agnostic once the bytes are on disk as files.
+lmdb-backed dataset. Round 3 made this fully self-contained: records are
+read by the pure-Python LMDB reader (data/lmdb_reader.py — no `lmdb`
+package, no network), which also powers direct training from the archive
+(`data.dataset="lsun"`). The conversion here is trivially resumable
+(files are content-keyed) and the rest of the input path — native
+decode, packing, per-host sharding — is format-agnostic once the bytes
+are on disk as files.
 
     python -m locate_tpu lsun-export /data/lsun/bedroom_train_lmdb \
         /data/lsun/bedroom_train
@@ -42,28 +44,18 @@ def sniff_extension(data: bytes) -> str:
 
 
 def iter_lmdb(path: str) -> Iterator[Tuple[bytes, bytes]]:
-    """Yield (key, value) over every record of an LMDB environment.
+    """Yield (key, value) over every record of an LMDB environment, via
+    the dependency-free reader (data/lmdb_reader.py) — no `lmdb` package
+    needed anywhere. (Export is also now OPTIONAL: `data.dataset="lsun"`
+    trains from the archive directly; exporting to a folder remains useful
+    ahead of `pack` on hosts where file-per-image tooling is preferred.)"""
+    from locate_tpu.data.lmdb_reader import LmdbReader
 
-    Requires the `lmdb` package (torchvision's LSUN reader uses the same
-    library). Import is deferred and gated so the rest of the data layer
-    works without it."""
+    reader = LmdbReader(path)
     try:
-        import lmdb  # type: ignore
-    except ImportError as e:  # pragma: no cover - exercised via message test
-        raise RuntimeError(
-            "LSUN export needs the `lmdb` package (pip install lmdb) on the "
-            "machine holding the archive; it is not bundled here. "
-            "Alternatively export the archive to an image folder with any "
-            "LSUN tool and point data.path at the folder."
-        ) from e
-    env = lmdb.open(path, readonly=True, lock=False, readahead=True,
-                    max_readers=4)
-    try:
-        with env.begin(write=False) as txn:
-            for key, value in txn.cursor():
-                yield bytes(key), bytes(value)
+        yield from reader.items()
     finally:
-        env.close()
+        reader.close()
 
 
 def lsun_to_folder(

@@ -194,10 +194,18 @@ def test_lsun_export_to_folder_and_train_path(tmp_path):
     assert img.shape == (8, 8, 3) and img.dtype == np.uint8
 
 
-def test_lsun_reader_gated_without_lmdb():
-    """Without the lmdb package the reader raises actionable guidance."""
+def test_lsun_reader_needs_no_lmdb_package(tmp_path):
+    """iter_lmdb reads archives via the pure-Python reader — no `lmdb`
+    package anywhere (the round-2 import gate is gone); missing paths
+    still fail loudly."""
+    import sys
+
+    from lmdb_mini import write_lmdb
     from locate_tpu.data.lsun import iter_lmdb
 
-    with pytest.raises((RuntimeError, Exception)) as e:
-        next(iter_lmdb("/nonexistent"))
-    assert "lmdb" in str(e.value).lower()
+    assert "lmdb" not in sys.modules  # nothing below may import it
+    recs = sorted((bytes([65 + i]) * 4, b"v" * i) for i in range(5))
+    write_lmdb(str(tmp_path / "env"), recs)
+    assert list(iter_lmdb(str(tmp_path / "env"))) == recs
+    with pytest.raises(Exception, match="data.mdb|No such file"):
+        next(iter_lmdb(str(tmp_path / "missing")))
