@@ -317,6 +317,15 @@ class TrainConfig:
     # (stochastically-rounded accumulation — halves the shadow's HBM;
     # deterministic bf16 would stall, see objectives/ema.py).
     ema_dtype: str = "float32"
+    # EMA half-life ramp-up (StyleGAN2-ADA's ema_rampup, in our per-step
+    # decay terms): when > 0, the effective half-life at step t is
+    # min(target_half_life(ema_decay), t * ema_rampup) — the shadow
+    # tracks the live generator closely early on (decay ~0 at step 0)
+    # instead of averaging in thousands of steps of random init, then
+    # glides to the configured decay. ADA uses ratio 0.05: the half-life
+    # is at most 5% of training-so-far. 0 = fixed decay from step 0.
+    # Purely a function of state.step, so resume continuity is automatic.
+    ema_rampup: float = 0.0
     # Lazy R1 gradient penalty on D every `r1_interval` steps; 0 disables.
     r1_gamma: float = 0.0
     r1_interval: int = 16
@@ -424,6 +433,15 @@ class TrainConfig:
         if self.ema_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"ema_dtype must be float32 or bfloat16, got {self.ema_dtype!r}"
+            )
+        if self.ema_rampup < 0.0:
+            raise ValueError(
+                f"ema_rampup must be >= 0, got {self.ema_rampup}"
+            )
+        if self.ema_rampup > 0.0 and not 0.0 < self.ema_decay < 1.0:
+            raise ValueError(
+                "ema_rampup needs 0 < ema_decay < 1 (a finite target "
+                f"half-life), got ema_decay={self.ema_decay}"
             )
         if not 0.0 <= self.augment_p <= 1.0:
             raise ValueError(f"augment_p must be in [0, 1], got {self.augment_p}")

@@ -25,6 +25,7 @@ Two step flavors (TrainConfig.fused_step):
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -441,7 +442,20 @@ def make_train_step(
         ema_params = state.ema_params
         if ema_params is not None:
             sr_key = k_ema if tcfg.ema_dtype == "bfloat16" else None
-            new_ema = ema_update(ema_params, g_params, tcfg.ema_decay, sr_key)
+            decay = tcfg.ema_decay
+            if tcfg.ema_rampup > 0.0:
+                # StyleGAN2-ADA ema_rampup in per-step-decay terms: the
+                # half-life ramps as min(target, step * rampup), so the
+                # shadow starts AT the live params (decay ~0) and glides
+                # to ema_decay. A pure function of state.step — resume
+                # continuity and scan (steps_per_call) need no plumbing.
+                hl_target = math.log(0.5) / math.log(tcfg.ema_decay)
+                hl = jnp.minimum(
+                    hl_target,
+                    (state.step.astype(jnp.float32) + 1.0) * tcfg.ema_rampup,
+                )
+                decay = jnp.exp2(-1.0 / hl)
+            new_ema = ema_update(ema_params, g_params, decay, sr_key)
             if tcfg.grad_accum > 1:
                 # EMA moves only on optimizer emits (MultiSteps leaves
                 # params unchanged on accumulation micro-steps; updating

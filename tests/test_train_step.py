@@ -86,6 +86,44 @@ def test_ema_tracks_generator(tiny_config):
     ) + 1e-9
 
 
+def test_ema_rampup(tiny_config):
+    """train.ema_rampup (StyleGAN2-ADA): at step 0 the effective decay is
+    ~0 — the shadow lands ON the updated generator — and the effective
+    half-life grows linearly until it reaches the configured decay's."""
+    import math
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, ema_decay=0.99, ema_rampup=0.05
+        ),
+    )
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, gan))
+    batch = make_batch(cfg, jax.random.PRNGKey(1))
+    state, _ = step(state, batch)
+    # step 0: half-life = 0.05 steps -> decay 2^-20: shadow == new params
+    for e, p in zip(jax.tree.leaves(state.ema_params),
+                    jax.tree.leaves(state.g_params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p),
+                                   rtol=1e-5, atol=1e-6)
+    # far past the ramp (step >= hl_target/rampup) the decay must equal
+    # the configured one: pin via the update identity on a synthetic state
+    hl_target = math.log(0.5) / math.log(cfg.train.ema_decay)
+    far = int(hl_target / cfg.train.ema_rampup) + 10
+    state_far = dataclasses.replace(
+        state, step=jnp.asarray(far, jnp.int32),
+        ema_params=jax.tree.map(jnp.zeros_like, state.ema_params),
+    )
+    out, _ = step(state_far, batch)
+    # zero shadow -> new_ema = (1-d) * g_params, d = ema_decay exactly
+    got = jax.tree.leaves(out.ema_params)[0]
+    want = (1.0 - cfg.train.ema_decay) * jax.tree.leaves(out.g_params)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_conditional_step(tiny_config):
     cfg = dataclasses.replace(
         tiny_config,
