@@ -140,12 +140,16 @@ def cmd_project(argv: List[str]) -> int:
 
         locate-tpu project PRESET --images DIR [--count N] [--steps N]
                   [--lr F] [--out z.npy] [--recon grid.png] [--raw]
+                  [--space z|w|w+]
 
     --images: folder of images (decoded + center-cropped + resized to the
     config's resolution) OR a .npy of uint8/float NHWC images. Labels for
     class-conditional models come from class subdirs when present.
     --raw projects through the raw generator instead of the EMA one.
-    Writes z (and per-image final reconstruction MSE) to --out (.npz).
+    --space w / w+ (style family only): optimize the intermediate
+    latent(s) instead of z — the StyleGAN2 projector convention, the
+    practical choice for inverting real photographs.
+    Writes the latents (and the loss history) to --out (.npz).
     """
     import jax
     import numpy as np
@@ -192,15 +196,17 @@ def cmd_project(argv: List[str]) -> int:
         labels = np.zeros((imgs.shape[0],), np.int32)
 
     steps = int(_str_flag(flags, "steps", "400"))
+    space = _str_flag(flags, "space", "z")
     z, hist = project(
         gan, g_params, imgs, labels=labels, steps=steps,
         lr=float(_str_flag(flags, "lr", "0.05")),
         prior_weight=float(_str_flag(flags, "prior-weight", "1e-3")),
+        space=space,
         key=jax.random.PRNGKey(int(_str_flag(flags, "seed", "0"))),
     )
     out = _str_flag(flags, "out") or f"{cfg.workdir}/projected_z.npz"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    np.savez(out, z=z, loss_history=hist,
+    np.savez(out, z=z, loss_history=hist, space=space,
              **({} if labels is None else {"labels": labels}))
     print(
         f"[locate-tpu] projected {imgs.shape[0]} images in {steps} steps: "
@@ -208,7 +214,8 @@ def cmd_project(argv: List[str]) -> int:
     )
     recon = _str_flag(flags, "recon")
     if recon:
-        grid = reconstruction_grid(gan, g_params, imgs, z, labels)
+        grid = reconstruction_grid(gan, g_params, imgs, z, labels,
+                                   space=space)
         save_image_grid(grid, recon, cols=2)
         print(f"[locate-tpu] wrote [target|recon] grid to {recon}")
     mgr.close()

@@ -14,6 +14,12 @@ coarse scales give the long-range signal an external perceptual net would
 otherwise provide — plus an optional Gaussian-prior pull on z
 (`prior_weight * mean(z^2)`) that keeps the recovered latent on-shell so
 the (EMA) generator stays in-distribution around it.
+
+For the style family the projector also works in the intermediate spaces
+(`space="w"` / `"w+"`): optimize w (or per-layer w+) directly, initialized
+at `w_average` with the prior pulling back toward it — the StyleGAN2
+projector convention, which is what makes REAL images (not on the
+generator's z-manifold) invertible in practice.
 """
 
 from __future__ import annotations
@@ -51,30 +57,77 @@ def project(
     lr: float = 0.05,
     prior_weight: float = 1e-3,
     init: str = "random",
+    space: str = "z",
     key: Optional[jax.Array] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Invert `targets` (fp32 NHWC in [-1, 1]) through the generator.
 
-    Returns (z, loss_history): z of shape (N, latent_dim) and the
-    per-step total loss (host arrays). Labels are required for
-    class-conditional models (they condition, they are not optimized).
+    `space` selects the latent space being optimized:
+      * "z"  — the input latent (any family): (N, latent_dim).
+      * "w"  — style family only (StyleGAN2 projector, arXiv 1912.04958
+        App. D): one intermediate latent per image, (N, w_dim), initialized
+        at `w_average` and pulled back toward it by `prior_weight` — the
+        mapping network is bypassed, which is what makes real (non-GAN)
+        images invertible in practice.
+      * "w+" — per-layer styles (N, num_ws, w_dim) (arXiv 1904.03189):
+        the editing-grade extended space; strictly more expressive, less
+        regularized.
+
+    Returns (latents, loss_history) as host arrays. Labels are required
+    for class-conditional models (they condition, they are not optimized;
+    in w spaces they enter the (bypassed) mapping only through w_avg).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if space not in ("z", "w", "w+"):
+        raise ValueError(f"space must be z/w/w+, got {space!r}")
     n = targets.shape[0]
     x = jnp.asarray(targets, jnp.float32)
     if labels is not None:
         labels = jnp.asarray(labels)
-    if init == "zero":
-        z0 = jnp.zeros((n, gan.config.latent_dim), jnp.float32)
+    if space == "z":
+        if init == "zero":
+            z0 = jnp.zeros((n, gan.config.latent_dim), jnp.float32)
+        else:
+            z0 = gan.sample_latents(key, n)
+
+        def fwd(v):
+            return gan.generator.apply(g_params, v, labels)
+
+        def prior(v):
+            return jnp.mean(v * v)
     else:
-        z0 = gan.sample_latents(key, n)
+        if gan.config.arch != "style":
+            raise ValueError(
+                f"space={space!r} projection needs model.arch='style' "
+                f"(got {gan.config.arch!r})"
+            )
+        from locate_tpu.models.style_generator import (
+            make_style_fns, w_average,
+        )
+
+        fns = make_style_fns(gan.config)
+        w_avg = w_average(gan.config, g_params, jax.random.fold_in(key, 1))
+        if space == "w":
+            z0 = jnp.broadcast_to(w_avg[None], (n, w_avg.shape[0]))
+        else:
+            z0 = jnp.broadcast_to(
+                w_avg[None, None], (n, fns["num_ws"], w_avg.shape[0])
+            )
+        z0 = jnp.asarray(z0, jnp.float32)
+
+        def fwd(v):
+            return fns["synthesis"](g_params, v, dtype=jnp.float32)
+
+        def prior(v):
+            return jnp.mean((v - w_avg) ** 2)
+
     opt = optax.adam(lr)
 
     def loss_fn(z):
-        img = gan.generator.apply(g_params, z, labels).astype(jnp.float32)
+        img = fwd(z).astype(jnp.float32)
         rec = _pyramid_mse(img, x)
-        return rec + prior_weight * jnp.mean(z * z), rec
+        return rec + prior_weight * prior(z), rec
 
     @jax.jit
     def run(z0):
@@ -95,16 +148,25 @@ def project(
 
 
 def reconstruction_grid(
-    gan: GAN, g_params, targets: np.ndarray, z: np.ndarray, labels=None
+    gan: GAN, g_params, targets: np.ndarray, z: np.ndarray, labels=None,
+    space: str = "z",
 ) -> np.ndarray:
     """Interleaved [target | reconstruction] rows as uint8 NHWC, for the
-    CLI's --recon output."""
+    CLI's --recon output. `space` must match the `project` call that
+    produced `z` (w/w+ resynthesize through the style synthesis alone)."""
     from locate_tpu.io.sampling import to_uint8
 
-    rec = gan.generator.apply(
-        g_params, jnp.asarray(z),
-        None if labels is None else jnp.asarray(labels),
-    )
+    if space == "z":
+        rec = gan.generator.apply(
+            g_params, jnp.asarray(z),
+            None if labels is None else jnp.asarray(labels),
+        )
+    else:
+        from locate_tpu.models.style_generator import make_style_fns
+
+        rec = make_style_fns(gan.config)["synthesis"](
+            g_params, jnp.asarray(z, jnp.float32), dtype=jnp.float32
+        )
     rec = np.asarray(jax.device_get(rec), np.float32)
     pairs = np.stack([np.asarray(targets, np.float32), rec], axis=1)
     return to_uint8(pairs.reshape((-1,) + rec.shape[1:]))

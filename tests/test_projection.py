@@ -59,6 +59,41 @@ def test_project_conditional_and_grid(tiny_config):
     assert grid.shape == (6, 16, 16, 3) and grid.dtype == np.uint8
 
 
+def test_project_w_space_style_family(tiny_config):
+    """StyleGAN2-projector convention: optimizing w directly (mapping
+    bypassed, w_avg init + pull) recovers style-generated targets; "w+"
+    returns per-layer styles and reconstructs through synthesis alone."""
+    import pytest
+
+    gan, params = _gan(tiny_config, arch="style")
+    z_true = gan.sample_latents(jax.random.PRNGKey(5), 3)
+    targets = np.asarray(gan.generator.apply(params, z_true), np.float32)
+    w, hist = project(
+        gan, params, targets, steps=250, lr=0.05, space="w",
+        key=jax.random.PRNGKey(1),
+    )
+    w_dim = tiny_config.model.style.w_dim or tiny_config.model.latent_dim
+    assert w.shape == (3, w_dim)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0] * 0.3, (hist[0], hist[-1])
+    grid = reconstruction_grid(gan, params, targets, w, space="w")
+    assert grid.dtype == np.uint8 and grid.shape[0] == 6
+
+    wp, hist_p = project(
+        gan, params, targets, steps=120, lr=0.05, space="w+",
+        key=jax.random.PRNGKey(1),
+    )
+    assert wp.shape == (3, gan.generator.num_ws, w_dim)
+    assert hist_p[-1] < hist_p[0] * 0.5
+
+    # w spaces are style-family-only; the locate family must refuse loudly
+    gan_l, params_l = _gan(tiny_config)
+    with pytest.raises(ValueError, match="style"):
+        project(gan_l, params_l, targets, steps=1, space="w")
+    with pytest.raises(ValueError, match="space"):
+        project(gan, params, targets, steps=1, space="bogus")
+
+
 def test_project_zero_init_and_prior(tiny_config):
     gan, params = _gan(tiny_config)
     targets = np.asarray(
