@@ -47,8 +47,10 @@ from locate_tpu.ops.self_attention import self_attention
 from locate_tpu.objectives.losses import (
     d_nonsat_loss,
     d_ragan_loss,
+    d_rpgan_loss,
     g_nonsat_loss,
     g_ragan_loss,
+    g_rpgan_loss,
     get_losses,
     gradient_penalty,
     path_lengths,
@@ -90,6 +92,7 @@ __all__ = [
     "conv_block", "generator_stage", "discriminator_stage", "to_rgb", "from_rgb",
     "locate_attention", "self_attention",
     "d_nonsat_loss", "g_nonsat_loss", "d_ragan_loss", "g_ragan_loss",
+    "d_rpgan_loss", "g_rpgan_loss",
     "get_losses", "r1_penalty", "gradient_penalty",
     "path_lengths", "spectral_normalize", "spectral_sigma", "project",
     "minibatch_stddev",

@@ -268,11 +268,14 @@ class TrainConfig:
     d_opt: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     # GAN loss: "nonsat" (reference behavior), "hinge", "wgan"
     # (Wasserstein critic — pair with r1_gamma for the Lipschitz control),
-    # "lsgan" (least-squares, arXiv 1611.04076), or the relativistic
+    # "lsgan" (least-squares, arXiv 1611.04076), the relativistic
     # average pairs "ragan" / "rahinge" (arXiv 1807.00734 — D rates reals
     # relative to the batch-average fake and vice versa; the G loss then
     # also needs D(real), one extra D forward per step on the alternating
-    # flavor, CSE-free on the fused flavor).
+    # flavor, CSE-free on the fused flavor), or "rpgan" (the relativistic
+    # PAIRING loss, RSGAN arXiv 1807.00734 §3 — sample i's fake rated
+    # against sample i's real; with r1_gamma + r2_gamma this is R3GAN's
+    # provably-convergent modern recipe, arXiv 2501.05441).
     loss: str = "nonsat"
     # Top-k generator training (arXiv 2002.06224): each step the G loss
     # averages only over the `topk_fraction` of fake samples with the
@@ -333,6 +336,14 @@ class TrainConfig:
     # memory; measured OOM fix at 128^2 b64 on 16 GB). Off only for
     # profiling the remat cost itself (scripts/profile_r1.py).
     r1_remat: bool = True
+    # R2 gradient penalty: R1's zero-centered ||grad_x D||^2 penalty
+    # evaluated at the FAKE samples (R3GAN, arXiv 2501.05441 §2.2 — the
+    # pair R1+R2 makes the rpgan objective locally convergent; R3GAN sets
+    # both gammas equal). Shares R1's schedule and machinery entirely:
+    # fires on the same lazy r1_interval steps (the papers fire them
+    # together), obeys r1_remat and r1_batch_fraction, and runs through
+    # the same XLA-twin discriminator on the Pallas path. 0 disables.
+    r2_gamma: float = 0.0
     # Compute R1 on this leading fraction of the (shuffled) real batch —
     # an unbiased estimator of E[||grad D||^2] at 1/fraction of the
     # grad-of-grad cost (higher variance; the penalty is a regularizer,
@@ -488,10 +499,13 @@ class TrainConfig:
             raise ValueError(
                 f"topk_fraction must be in (0, 1], got {self.topk_fraction}"
             )
-        if self.topk_fraction < 1.0 and self.loss in ("ragan", "rahinge"):
+        if self.r2_gamma < 0.0:
+            raise ValueError(f"r2_gamma must be >= 0, got {self.r2_gamma}")
+        if self.topk_fraction < 1.0 and self.loss in ("ragan", "rahinge",
+                                                      "rpgan"):
             raise ValueError(
-                "topk_fraction < 1 needs a per-sample-decomposable G loss; "
-                f"{self.loss!r} couples samples through batch means"
+                "topk_fraction < 1 needs a G loss of the fake logits "
+                f"alone; {self.loss!r} couples each fake to the real batch"
             )
         if self.d_steps > 1 and self.fused_step:
             raise ValueError(

@@ -138,9 +138,44 @@ def d_rahinge_loss(real_logits: jax.Array, fake_logits: jax.Array,
     )
 
 
+def g_rpgan_loss(fake_logits: jax.Array, real_logits: jax.Array,
+                 mean_fn=jnp.mean) -> jax.Array:
+    """Relativistic pairing generator loss (RSGAN, arXiv 1807.00734 §3;
+    the "RpGAN" objective R3GAN builds its modern baseline on, arXiv
+    2501.05441 §2.1): each fake is rated against ITS paired real sample,
+
+        E_i[ softplus(-(D(fake_i) - D(real_i))) ]
+
+    Per-PAIR decomposable — unlike ragan/rahinge there is no batch-mean
+    coupling, so `mean_fn` is unused (kept for the relativistic-family
+    call signature); DP backends agree as long as real row i and latent
+    row i land on the same replica, which the global-draw + local-slice
+    latent discipline guarantees (train/step.py)."""
+    del mean_fn
+    f = fake_logits.astype(jnp.float32).reshape(-1)
+    r = real_logits.astype(jnp.float32).reshape(-1)
+    return jnp.mean(jax.nn.softplus(-(f - r)))
+
+
+def d_rpgan_loss(real_logits: jax.Array, fake_logits: jax.Array,
+                 mean_fn=jnp.mean) -> jax.Array:
+    """Relativistic pairing discriminator loss (RSGAN / RpGAN):
+
+        E_i[ softplus(-(D(real_i) - D(fake_i))) ]
+
+    R3GAN (arXiv 2501.05441 §2.2) shows this objective + zero-centered
+    gradient penalties on BOTH reals and fakes (train.r1_gamma +
+    train.r2_gamma) is locally convergent where the classic pair is not —
+    the full recipe here is `train.loss=rpgan r1_gamma=g r2_gamma=g`."""
+    del mean_fn
+    r = real_logits.astype(jnp.float32).reshape(-1)
+    f = fake_logits.astype(jnp.float32).reshape(-1)
+    return jnp.mean(jax.nn.softplus(-(r - f)))
+
+
 # Families whose G loss needs the real logits (and a global-mean hook):
 # both loss fns take (logits..., mean_fn=jnp.mean).
-RELATIVISTIC = frozenset({"ragan", "rahinge"})
+RELATIVISTIC = frozenset({"ragan", "rahinge", "rpgan"})
 # Families whose G loss decomposes into independent per-sample terms
 # (required by top-k training, TrainConfig.topk_fraction).
 PER_SAMPLE_G = frozenset({"nonsat", "hinge", "wgan", "lsgan"})
@@ -162,6 +197,8 @@ def get_losses(kind: str):
         return g_ragan_loss, d_ragan_loss
     if kind == "rahinge":
         return g_rahinge_loss, d_rahinge_loss
+    if kind == "rpgan":
+        return g_rpgan_loss, d_rpgan_loss
     raise ValueError(f"unknown GAN loss {kind!r}")
 
 

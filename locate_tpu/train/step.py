@@ -115,7 +115,8 @@ def make_train_step(
     # R1/GP are grad-of-grad; the Pallas attention's custom_vjp is first-
     # order only, so the penalties run through an XLA-path discriminator
     # twin (identical params pytree — use_pallas changes apply, not init).
-    any_gp = tcfg.r1_gamma > 0.0 or tcfg.gp_gamma > 0.0
+    any_gp = (tcfg.r1_gamma > 0.0 or tcfg.gp_gamma > 0.0
+              or tcfg.r2_gamma > 0.0)
     d_apply_r1 = gan.discriminator.apply
     if any_gp and gan.config.use_pallas:
         import dataclasses as _dc
@@ -340,6 +341,35 @@ def make_train_step(
                 )
             aux["r1"] = pen
             loss = loss + pen
+        if tcfg.r2_gamma > 0.0:
+            # R2 (R3GAN, arXiv 2501.05441 §2.2): R1's zero-centered
+            # penalty at the FAKE samples, on the same lazy schedule (the
+            # paper fires the pair together) and through the same
+            # XLA-twin/remat d_apply_r1. `fake` is D's actual input
+            # (augmented under ADA, matching the R1-on-augmented-real
+            # convention above) and already stop_gradient'd by the caller,
+            # so the penalty shapes D only — G never feels it.
+            def with_r2(_):
+                nf = fake.shape[0]
+                k2 = max(1, int(round(nf * tcfg.r1_batch_fraction)))
+                f_sub = fake[:k2] if k2 < nf else fake
+                fl_sub = (fake_labels[:k2]
+                          if (fake_labels is not None and k2 < nf)
+                          else fake_labels)
+                pen2 = r1_penalty(d_apply_r1, d_params, f_sub, fl_sub)
+                return pen2 * (tcfg.r2_gamma * tcfg.r1_interval)
+
+            if tcfg.r1_interval == 1:
+                pen2 = with_r2(None)
+            else:
+                pen2 = jax.lax.cond(
+                    step % tcfg.r1_interval == 0,
+                    with_r2,
+                    lambda _: jnp.zeros((), jnp.float32),
+                    operand=None,
+                )
+            aux["r2"] = pen2
+            loss = loss + pen2
         if tcfg.gp_gamma > 0.0:
             # WGAN-GP at random interpolates, every step (classic recipe;
             # arXiv 1704.00028). Shares R1's XLA-twin/remat machinery
