@@ -174,6 +174,15 @@ class ModelConfig:
     # (ops/spectral.py) — no pytree/optimizer/checkpoint change.
     spectral_norm: bool = False
     sn_iters: int = 9
+    # Generator RGB-head topology: "last" (one to-RGB conv after the top
+    # stage — the reference's shape, SURVEY.md §4.2) or "skip" (StyleGAN2
+    # arXiv 1912.04958 §4.1 "input/output skips" / MSG-GAN: EVERY stage
+    # emits a linear RGB contribution through its own [norm+act+1x1]
+    # head, summed with the 2x-upsampled running image; one tanh at the
+    # end). Skip heads give every resolution a direct gradient path from
+    # the image — the paper's replacement for progressive growing.
+    # Locate family only (the style family's styled head is separate).
+    g_rgb: str = "last"
     # Minibatch standard deviation (ProGAN arXiv 1710.10196 §3): append the
     # per-group batch-diversity statistic to the discriminator's pooled
     # features ahead of the logit head (ops/norm.py:minibatch_stddev).
@@ -191,6 +200,15 @@ class ModelConfig:
         if self.arch not in ("locate", "style"):
             raise ValueError(
                 f"model.arch must be 'locate' or 'style', got {self.arch!r}"
+            )
+        if self.g_rgb not in ("last", "skip"):
+            raise ValueError(
+                f"model.g_rgb must be 'last' or 'skip', got {self.g_rgb!r}"
+            )
+        if self.g_rgb == "skip" and self.arch != "locate":
+            raise ValueError(
+                "model.g_rgb='skip' is a locate-family knob (the style "
+                "family keeps its single styled to-RGB head)"
             )
 
     @property

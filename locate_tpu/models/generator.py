@@ -18,7 +18,7 @@ from locate_tpu.nn.core import maybe_remat, sequential
 from locate_tpu.nn.blocks import generator_stage, to_rgb
 from locate_tpu.ops import initializers
 from locate_tpu.ops.activations import make_act
-from locate_tpu.ops.conv import dense
+from locate_tpu.ops.conv import conv2d, dense, upsample_nearest
 from locate_tpu.ops.norm import make_norm
 
 
@@ -72,19 +72,46 @@ def build_generator(
     if cfg.remat:
         stages = [maybe_remat(s) for s in stages]
     trunk = sequential(*stages)
-    head = sequential(
-        make_norm(cfg.norm, chans[-1], cfg.group_norm_groups, compute_dtype=compute_dtype),
-        make_act(cfg.act, cfg.leaky_slope),
-        to_rgb(chans[-1], cfg.img_channels, compute_dtype=compute_dtype),
-    )
+    skip_rgb = cfg.g_rgb == "skip"
+
+    def _rgb_head(ch):
+        """Per-stage linear RGB head for the skip topology (StyleGAN2
+        §4.1 / MSG-GAN): [norm + act + 1x1], NO tanh — contributions are
+        summed across stages (tanh fires once, on the sum). Same op
+        chain as the "last" head minus the nonlinearity, so a skip
+        generator whose earlier heads are zero IS the "last" generator
+        (pinned by tests/test_skip_rgb.py)."""
+        return sequential(
+            make_norm(cfg.norm, ch, cfg.group_norm_groups,
+                      compute_dtype=compute_dtype),
+            make_act(cfg.act, cfg.leaky_slope),
+            conv2d(ch, cfg.img_channels, (1, 1),
+                   weight_init=lambda k, s: initializers.normal(
+                       k, s, stddev=0.02),
+                   compute_dtype=compute_dtype),
+        )
+
+    if skip_rgb:
+        rgb_heads = [_rgb_head(c) for c in chans]
+        up2 = upsample_nearest(2)
+    else:
+        head = sequential(
+            make_norm(cfg.norm, chans[-1], cfg.group_norm_groups, compute_dtype=compute_dtype),
+            make_act(cfg.act, cfg.leaky_slope),
+            to_rgb(chans[-1], cfg.img_channels, compute_dtype=compute_dtype),
+        )
 
     def init(key):
         k_embed, k_seed, k_trunk, k_head = jax.random.split(key, 4)
         params = {
             "seed": seed.init(k_seed),
             "trunk": trunk.init(k_trunk),
-            "head": head.init(k_head),
         }
+        if skip_rgb:
+            hkeys = jax.random.split(k_head, len(rgb_heads))
+            params["rgb"] = [h.init(k) for h, k in zip(rgb_heads, hkeys)]
+        else:
+            params["head"] = head.init(k_head)
         if cfg.num_classes:
             params["class_embed"] = initializers.normal(
                 k_embed, (cfg.num_classes, cfg.class_embed_dim), stddev=0.02
@@ -101,6 +128,18 @@ def build_generator(
             z = jnp.concatenate([z, emb], axis=-1)
         x = seed.apply(params["seed"], z)
         x = x.reshape(z.shape[0], 4, 4, chans[0])
+        if skip_rgb:
+            # running image: each stage adds its linear RGB view to the
+            # 2x-upsampled sum so far — every resolution gets a direct
+            # gradient path from the output (StyleGAN2 §4.1). Accumulate
+            # in fp32 (many small bf16 adds would lose the low bits).
+            rgb = None
+            for st, hd, p_st, p_hd in zip(stages, rgb_heads,
+                                          params["trunk"], params["rgb"]):
+                x = st.apply(p_st, x)
+                y = hd.apply(p_hd, x).astype(jnp.float32)
+                rgb = y if rgb is None else up2.apply((), rgb) + y
+            return jnp.tanh(rgb).astype(cd)
         x = trunk.apply(params["trunk"], x)
         return head.apply(params["head"], x)
 
