@@ -249,9 +249,13 @@ class ModelConfig:
 class DataConfig:
     """Host input pipeline (SURVEY.md §4.5)."""
 
-    # {"synthetic", "folder", "cifar10", "packed", "tfrecord"}
-    # ("tfrecord" reads StyleGAN-convention or TF-slim shards without a
-    # TensorFlow import — data/tfrecords.py; `pack` it once for training)
+    # {"synthetic", "folder", "zip", "cifar10", "packed", "tfrecord",
+    # "lsun"/"lmdb"}. "tfrecord" reads StyleGAN-convention or TF-slim
+    # shards without a TensorFlow import (data/tfrecords.py); "zip" reads
+    # StyleGAN2-ADA dataset_tool.py archives in place (images +
+    # optional dataset.json labels, no extraction); "lsun" reads LSUN
+    # LMDB archives directly (data/lmdb_reader.py, no lmdb package).
+    # `pack` any of them once for training-speed input.
     dataset: str = "synthetic"
     path: str = ""
     resolution: int = 32

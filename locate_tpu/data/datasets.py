@@ -18,14 +18,35 @@ dataset is the always-available fallback for tests/benchmarks.
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
 import tarfile
+import threading
+import zipfile
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 Example = Tuple[np.ndarray, int]
+
+
+def _pil_decode(fp, resolution: int, channels: int) -> np.ndarray:
+    """PIL decode + center-crop-to-square + bilinear resize -> (H, W, C)
+    uint8. `fp` is a path or a file-like (zip member). The shared decode
+    protocol of ImageFolder and ZipImages."""
+    from PIL import Image
+
+    with Image.open(fp) as im:
+        im = im.convert("RGB" if channels == 3 else "L")
+        w, h = im.size
+        s = min(w, h)
+        im = im.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+        im = im.resize((resolution, resolution), Image.BILINEAR)
+        arr = np.asarray(im, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
 
 
 class SyntheticImages:
@@ -228,18 +249,76 @@ class ImageFolder:
         return images, labels
 
     def example(self, index: int, rng=None) -> Example:
-        from PIL import Image
+        arr = _pil_decode(self.files[index], self.resolution, self.channels)
+        return arr, int(self.labels[index])
 
-        with Image.open(self.files[index]) as im:
-            im = im.convert("RGB" if self.channels == 3 else "L")
-            # center-crop to square, then resize
-            w, h = im.size
-            s = min(w, h)
-            im = im.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
-            im = im.resize((self.resolution, self.resolution), Image.BILINEAR)
-            arr = np.asarray(im, np.uint8)
-        if arr.ndim == 2:
-            arr = arr[..., None]
+
+class ZipImages:
+    """Images inside a zip archive, read WITHOUT extraction — the
+    StyleGAN2-ADA ecosystem's canonical dataset format (its
+    dataset_tool.py emits exactly this: image members + an optional
+    `dataset.json` with ``{"labels": [[member_name, int], ...]}``).
+
+    Labels resolve in priority order: dataset.json when present, else
+    first-level directory names inside the archive (mirroring
+    ImageFolder's class-per-subdir rule), else unlabeled. Decode protocol
+    (center-crop + bilinear resize, `_pil_decode`) matches ImageFolder
+    exactly, so `pack`-ing a zip and `pack`-ing its extracted folder give
+    byte-identical shards. Random access seeks within the archive (zip
+    central directory -> O(1) member lookup); a lock serializes reads on
+    the shared handle (the pipeline's single producer thread never
+    contends; eval-path calls stay safe)."""
+
+    EXTENSIONS = ImageFolder.EXTENSIONS
+
+    def __init__(self, path: str, resolution: int, channels: int = 3):
+        self.path = path
+        self.resolution = resolution
+        self.channels = channels
+        self._zf: Optional[zipfile.ZipFile] = None
+        self._lock = threading.Lock()
+        with zipfile.ZipFile(path) as zf:
+            members = sorted(
+                n for n in zf.namelist()
+                if n.lower().endswith(self.EXTENSIONS) and not n.endswith("/")
+            )
+            if not members:
+                raise FileNotFoundError(f"no images inside {path!r}")
+            label_map = None
+            if "dataset.json" in zf.namelist():
+                meta = json.loads(zf.read("dataset.json"))
+                raw = meta.get("labels")
+                if raw:  # ADA convention: null means unlabeled
+                    label_map = {name: int(lab) for name, lab in raw}
+        self.names = members
+        if label_map is not None:
+            self.labels = np.asarray(
+                [label_map.get(n, 0) for n in members], np.int32
+            )
+            self.num_classes = int(self.labels.max()) + 1
+        else:
+            tops = sorted({n.split("/", 1)[0] for n in members if "/" in n})
+            if tops and all("/" in n for n in members):
+                idx = {t: i for i, t in enumerate(tops)}
+                self.labels = np.asarray(
+                    [idx[n.split("/", 1)[0]] for n in members], np.int32
+                )
+                self.num_classes = len(tops)
+            else:
+                self.labels = np.zeros(len(members), np.int32)
+                self.num_classes = 0
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def example(self, index: int, rng=None) -> Example:
+        with self._lock:
+            if self._zf is None:
+                self._zf = zipfile.ZipFile(self.path)
+            data = self._zf.read(self.names[index])
+        import io
+
+        arr = _pil_decode(io.BytesIO(data), self.resolution, self.channels)
         return arr, int(self.labels[index])
 
 
@@ -256,7 +335,12 @@ def make_dataset(cfg) -> object:
             # Offline fallback: keep config 1 runnable anywhere.
             return SyntheticImages(32, 3, num_classes=cfg.num_classes or 10)
     if cfg.dataset == "folder":
+        # convenience: a .zip path under dataset="folder" still works
+        if cfg.path.lower().endswith(".zip") and os.path.isfile(cfg.path):
+            return ZipImages(cfg.path, cfg.resolution, cfg.img_channels)
         return ImageFolder(cfg.path, cfg.resolution, cfg.img_channels)
+    if cfg.dataset == "zip":
+        return ZipImages(cfg.path, cfg.resolution, cfg.img_channels)
     if cfg.dataset == "tfrecord":
         from locate_tpu.data.tfrecords import TFRecordImages
 
