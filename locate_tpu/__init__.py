@@ -72,6 +72,7 @@ from locate_tpu.io.fid import (
     kid,
     prdc,
 )
+from locate_tpu.io.swd import sliced_wasserstein, swd, swd_generator
 from locate_tpu.io.sampling import (
     generate_samples,
     interpolation_grid,
@@ -101,6 +102,7 @@ __all__ = [
     "CheckpointManager", "generate_samples", "save_image_grid",
     "export_generator", "load_generator",
     "evaluate_generator", "frechet_distance", "kid", "prdc",
+    "sliced_wasserstein", "swd", "swd_generator",
     "inception_score",
     "interpolation_grid", "slerp", "make_mesh", "make_step_for",
 ]

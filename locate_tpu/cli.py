@@ -302,6 +302,12 @@ def cmd_eval(argv: List[str]) -> int:
                              Needs an --extractor .npz that includes the
                              fc head (convert_inception.py ships it);
                              works with --ref-stats too (IS is fake-only).
+      --swd                  also report sliced Wasserstein distance over
+                             Laplacian-pyramid patches (ProGAN arXiv
+                             1710.10196 §5: swd_<res> per level x1e3 +
+                             swd_avg) — a quality metric needing NO
+                             pretrained weights, fully computable on this
+                             host. Needs the dataset (not --ref-stats).
       --dp                   run the eval data-parallel over ALL devices:
                              sharded generation + sharded feature
                              extraction (same latent streams; a pod
@@ -411,6 +417,17 @@ def cmd_eval(argv: List[str]) -> int:
         fids = [v["fid"] for v in per.values()]
         result["per_class_fid_worst"] = max(fids)
         result["per_class_fid_mean"] = float(np.mean(fids))
+    if flags.get("swd"):
+        if ref_stats_path:
+            raise SystemExit("--swd compares raw images — it needs the "
+                             "dataset, not --ref-stats")
+        from locate_tpu.io.swd import swd_generator
+
+        result.update(swd_generator(
+            gan, g_params, make_dataset(cfg.data),
+            n_samples=int(_str_flag(flags, "samples", "1024")),
+            seed=cfg.train.seed,
+        ))
     result["step"] = int(state.step)
     print(json.dumps(result))
     mgr.close()
