@@ -180,8 +180,11 @@ class ModelConfig:
     # emits a linear RGB contribution through its own [norm+act+1x1]
     # head, summed with the 2x-upsampled running image; one tanh at the
     # end). Skip heads give every resolution a direct gradient path from
-    # the image — the paper's replacement for progressive growing.
-    # Locate family only (the style family's styled head is separate).
+    # the image — the paper's replacement for progressive growing. Both
+    # families: the locate family uses linear [norm+act+1x1] heads, the
+    # style family per-stage STYLED to-RGB convs (1x1 modulated, no
+    # demod — StyleGAN2's actual default "skip" config; each stage's
+    # to-RGB gets its own w index, so mixing/truncation cover it).
     g_rgb: str = "last"
     # Minibatch standard deviation (ProGAN arXiv 1710.10196 §3): append the
     # per-group batch-diversity statistic to the discriminator's pooled
@@ -204,11 +207,6 @@ class ModelConfig:
         if self.g_rgb not in ("last", "skip"):
             raise ValueError(
                 f"model.g_rgb must be 'last' or 'skip', got {self.g_rgb!r}"
-            )
-        if self.g_rgb == "skip" and self.arch != "locate":
-            raise ValueError(
-                "model.g_rgb='skip' is a locate-family knob (the style "
-                "family keeps its single styled to-RGB head)"
             )
 
     @property

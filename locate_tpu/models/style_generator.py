@@ -203,10 +203,32 @@ def make_style_fns(
         if cfg.attention_at(resolutions[i])
     }
 
-    # Styled-layer count and order (the style-mixing index space): stage-
-    # major conv order, the to-RGB conv last.
+    # Styled-layer count and order (the style-mixing index space).
+    # g_rgb="last" (default): stage-major conv order, ONE to-RGB last.
+    # g_rgb="skip" (StyleGAN2's actual default config, §4.1): every stage
+    # ends with its OWN styled to-RGB whose contribution is summed with
+    # the 2x-upsampled running image; layer order is network-depth order
+    # — stage i's convs then stage i's to-RGB — so a mixing crossover
+    # splits the to-RGBs consistently with the convs around them.
     noise_on = scfg.noise != "none"
-    num_ws = len(chans) * cfg.blocks_per_stage + 1
+    skip_rgb = cfg.g_rgb == "skip"
+    bps = cfg.blocks_per_stage
+    if skip_rgb:
+        num_ws = len(chans) * (bps + 1)
+
+        def li_conv(i, j):
+            return i * (bps + 1) + j
+
+        def li_rgb(i):
+            return i * (bps + 1) + bps
+    else:
+        num_ws = len(chans) * bps + 1
+
+        def li_conv(i, j):
+            return i * bps + j
+
+        def li_rgb(i):
+            return num_ws - 1
 
     def init(key):
         keys = jax.random.split(key, 6)
@@ -244,12 +266,21 @@ def make_style_fns(
             if i in attn_layers:
                 stage["attn"] = attn_layers[i].init(bkeys[-1])
             stages.append(stage)
+        if skip_rgb:
+            rkeys = jax.random.split(keys[4], len(chans))
+            rgb = [
+                modulated_conv2d_init(rkeys[i], w_dim, chans[i],
+                                      cfg.img_channels, 1, w_std=0.05)
+                for i in range(len(chans))
+            ]
+        else:
+            rgb = modulated_conv2d_init(keys[4], w_dim, chans[-1],
+                                        cfg.img_channels, 1, w_std=0.05)
         return {
             "mapping": mapping,
             "const": jax.random.normal(keys[3], (4, 4, chans[0]), jnp.float32),
             "stages": stages,
-            "rgb": modulated_conv2d_init(keys[4], w_dim, chans[-1],
-                                         cfg.img_channels, 1, w_std=0.05),
+            "rgb": rgb,
         }
 
     def w_at(wlat, li):
@@ -266,7 +297,7 @@ def make_style_fns(
                 x[:, :, None, :, None, :], (n, h, 2, w, 2, c)
             ).reshape(n, 2 * h, 2 * w, c)
         for j, conv_p in enumerate(stage_params["convs"]):
-            li = i * cfg.blocks_per_stage + j
+            li = li_conv(i, j)
             y = modulated_conv2d(conv_p, x, w_at(wlat, li),
                                  demodulate=scfg.demodulate)
             if noise_on:
@@ -297,9 +328,26 @@ def make_style_fns(
         body = stage_apply
         if cfg.remat:
             body = jax.checkpoint(stage_apply, static_argnums=(4,))
+        rgb = None
         for i, sp in enumerate(params["stages"]):
             kn = jax.random.fold_in(noise_rng, i) if rand_noise else None
             x = body(sp, x, wlat, kn, i)
+            if skip_rgb:
+                # per-stage styled to-RGB summed with the upsampled
+                # running image (StyleGAN2 §4.1 skip config); accumulate
+                # in fp32 — many small bf16 adds would lose the low bits.
+                y = modulated_conv2d(params["rgb"][i], x,
+                                     w_at(wlat, li_rgb(i)),
+                                     demodulate=False).astype(jnp.float32)
+                if rgb is None:
+                    rgb = y
+                else:
+                    n_, h_, w_, c_ = rgb.shape
+                    rgb = jnp.broadcast_to(
+                        rgb[:, :, None, :, None, :], (n_, h_, 2, w_, 2, c_)
+                    ).reshape(n_, 2 * h_, 2 * w_, c_) + y
+        if skip_rgb:
+            return jnp.tanh(rgb).astype(cd)
         # Styled to-RGB (1x1, no demod — StyleGAN2 §B; no noise, also §B)
         # + the framework's tanh range contract ([-1, 1], fp32 tail like
         # nn/blocks.to_rgb).

@@ -29,9 +29,8 @@ def _mcfg(tiny_config, **kw):
 def test_config_validation():
     with pytest.raises(ValueError):
         ModelConfig(g_rgb="both")
-    with pytest.raises(ValueError):
-        ModelConfig(arch="style", g_rgb="skip")
-    ModelConfig(g_rgb="skip")  # fine
+    ModelConfig(g_rgb="skip")  # fine, both families
+    ModelConfig(arch="style", g_rgb="skip")
 
 
 def test_skip_rgb_shapes_and_range(tiny_config):
@@ -124,6 +123,108 @@ def test_skip_rgb_train_step_dp_matches_single_device(tiny_config):
             np.testing.assert_allclose(a[k], b[k], rtol=5e-4, atol=5e-4,
                                        err_msg=k)
     assert all(np.isfinite(list(h.values())).all() for h in h8)
+
+
+# ---------------------------------------------------------------------------
+# style family (per-stage STYLED to-RGB — StyleGAN2's actual skip config)
+# ---------------------------------------------------------------------------
+
+
+def _style_cfg(tiny_config, **kw):
+    return _mcfg(tiny_config, arch="style", g_rgb="skip", **kw)
+
+
+def test_style_skip_num_ws_and_shapes(tiny_config):
+    cfg = _style_cfg(tiny_config)
+    gen = build_generator(cfg, jnp.float32)
+    # depth order: each stage's convs then its to-RGB
+    assert gen.num_ws == cfg.num_stages * (cfg.blocks_per_stage + 1)
+    params = gen.init(jax.random.PRNGKey(0))
+    assert isinstance(params["rgb"], list)
+    assert len(params["rgb"]) == cfg.num_stages
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.latent_dim))
+    img = gen.apply(params, z)
+    assert img.shape == (4, cfg.resolution, cfg.resolution, 3)
+    assert float(jnp.max(jnp.abs(img))) <= 1.0
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_style_skip_zero_heads_equals_last(tiny_config):
+    """Zeroed all-but-top to-RGBs == the 'last' style generator carrying
+    the top head's params (mapping/const/stages draws are identical —
+    same init key stream)."""
+    cfg_s = _style_cfg(tiny_config)
+    cfg_l = _mcfg(tiny_config, arch="style", g_rgb="last")
+    gen_s = build_generator(cfg_s, jnp.float32)
+    gen_l = build_generator(cfg_l, jnp.float32)
+    p = gen_s.init(jax.random.PRNGKey(0))
+    zeroed = [
+        jax.tree.map(jnp.zeros_like, hp) if i < len(p["rgb"]) - 1 else hp
+        for i, hp in enumerate(p["rgb"])
+    ]
+    p_skip = {**p, "rgb": zeroed}
+    p_last = {**p, "rgb": p["rgb"][-1]}
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, cfg_s.latent_dim))
+    np.testing.assert_allclose(
+        np.asarray(gen_s.apply(p_skip, z)),
+        np.asarray(gen_l.apply(p_last, z)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_style_skip_gradients_and_mixing_identity(tiny_config):
+    cfg = _style_cfg(tiny_config)
+    gen = build_generator(cfg, jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.latent_dim))
+
+    def loss(p):
+        return jnp.mean(gen.apply(p, z) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for i, hp in enumerate(grads["rgb"]):
+        norm = float(
+            jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(hp)))
+        )
+        assert norm > 0.0, f"stage {i} styled to-RGB got no gradient"
+    # mixing with cut == num_ws must be the plain apply bit-for-bit
+    z2 = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.latent_dim))
+    cut = jnp.full((2,), gen.num_ws, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(gen.apply_mixed(params, z, z2, cut)),
+        np.asarray(gen.apply(params, z)),
+    )
+    # a crossover INSIDE the to-RGB range must change the output (the
+    # per-stage heads are genuinely styled)
+    cut1 = jnp.ones((2,), jnp.int32)
+    assert not np.array_equal(
+        np.asarray(gen.apply_mixed(params, z, z2, cut1)),
+        np.asarray(gen.apply(params, z)),
+    )
+
+
+def test_style_skip_train_step_runs(tiny_config):
+    cfg = dataclasses.replace(tiny_config, model=_style_cfg(tiny_config))
+    gan = build_gan(cfg)
+    mesh = single_device_mesh(cfg.parallel)
+    with mesh:
+        state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+        jit_for, sh_for, b_shard = make_sharded_train_step(cfg, gan, mesh)
+        state = place_train_state(state, sh_for(state))
+        step = jit_for(state)
+        img = jax.random.uniform(
+            jax.random.PRNGKey(1),
+            (cfg.train.global_batch, cfg.model.resolution,
+             cfg.model.resolution, 3), minval=-1.0, maxval=1.0,
+        )
+        batch = jax.device_put(
+            {"image": img, "label": jnp.zeros(
+                (cfg.train.global_batch,), jnp.int32)},
+            {"image": b_shard, "label": b_shard},
+        )
+        for _ in range(2):
+            state, metrics = step(state, batch)
+        assert np.isfinite([float(v) for v in metrics.values()]).all()
 
 
 def test_skip_rgb_ema_export_roundtrip(tiny_config, tmp_path):
