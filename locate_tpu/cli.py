@@ -613,8 +613,95 @@ def cmd_bench_sample(argv: List[str]) -> int:
     return 0
 
 
+def _infer_dataset_kind(path: str) -> str:
+    """Map a filesystem path to the DataConfig.dataset kind reading it:
+    .zip archives, LMDB environments (data.mdb / .mdb), TFRecord shards,
+    packed dirs (meta.json), else an image folder."""
+    low = path.lower()
+    if low.endswith(".zip"):
+        return "zip"
+    if low.endswith(".mdb") or os.path.isfile(os.path.join(path, "data.mdb")):
+        return "lsun"
+    if low.endswith((".tfrecord", ".tfrecords")):
+        return "tfrecord"
+    if os.path.isfile(os.path.join(path, "meta.json")):
+        return "packed"
+    return "folder"
+
+
+def cmd_compare(argv: List[str]) -> int:
+    """`compare --a=PATH --b=PATH [--resolution=R] [--samples=N]
+    [--extractor=npz] [--swd] [--prdc-k=K] [--seed=S]` — dataset-vs-
+    dataset metrics with NO model involved (the pytorch-fid workflow):
+    FID/KID between two image sources (folder / zip / LMDB / TFRecord /
+    packed — inferred from the path), optionally SWD (raw pixels, no
+    weights needed) and precision/recall/density/coverage. Use cases:
+    score an exported sample dump against the dataset, validate a pack
+    or format conversion (identical sources -> all-zero metrics), or
+    compare two datasets."""
+    import json
+
+    import numpy as np
+
+    from locate_tpu.config import DataConfig
+    from locate_tpu.data.datasets import make_dataset
+    from locate_tpu.io.fid import (
+        NpzFeatureExtractor,
+        RandomConvFeatures,
+        feature_stats,
+        features_in_batches,
+        frechet_distance,
+        kid,
+        prdc,
+    )
+
+    flags, overrides = _split_args(argv)
+    if overrides:
+        raise SystemExit(f"compare takes flags only, got {overrides}")
+    a_path, b_path = _str_flag(flags, "a"), _str_flag(flags, "b")
+    if not a_path or not b_path:
+        raise SystemExit("compare needs --a=PATH and --b=PATH")
+    res = int(_str_flag(flags, "resolution", "256"))
+    n = int(_str_flag(flags, "samples", "1024"))
+    seed = int(_str_flag(flags, "seed", "0"))
+    extractor_path = _str_flag(flags, "extractor")
+    extractor = (NpzFeatureExtractor(extractor_path) if extractor_path
+                 else RandomConvFeatures())
+
+    def load(path):
+        kind = _infer_dataset_kind(path)
+        ds = make_dataset(DataConfig(dataset=kind, path=path, resolution=res))
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(ds), min(n, len(ds)), replace=False)
+        return kind, np.stack([ds.example(int(i))[0] for i in idx])
+
+    kind_a, imgs_a = load(a_path)
+    kind_b, imgs_b = load(b_path)
+    m = min(len(imgs_a), len(imgs_b))
+    imgs_a, imgs_b = imgs_a[:m], imgs_b[:m]
+    fa = features_in_batches(imgs_a, extractor)
+    fb = features_in_batches(imgs_b, extractor)
+    result = {
+        "a": {"path": a_path, "kind": kind_a, "n": int(m)},
+        "b": {"path": b_path, "kind": kind_b, "n": int(m)},
+        "fid": frechet_distance(*feature_stats(fa), *feature_stats(fb)),
+        "kid": kid(fa, fb),
+        "extractor": "npz" if extractor_path else "random-conv (rFID)",
+    }
+    k_prdc = _str_flag(flags, "prdc-k")
+    if k_prdc:
+        result.update(prdc(fa, fb, k=int(k_prdc)))
+    if flags.get("swd"):
+        from locate_tpu.io.swd import swd
+
+        result.update(swd(imgs_a, imgs_b, seed=seed))
+    print(json.dumps(result))
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
+    "compare": cmd_compare,
     "sample": cmd_sample,
     "project": cmd_project,
     "eval": cmd_eval,
