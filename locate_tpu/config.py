@@ -427,8 +427,9 @@ class TrainConfig:
     # ops/augment.py): "geom" (flip/rot90/integer-translate), "affine"
     # (ADA's general geometric group — iso/aniso scaling, arbitrary
     # rotation, fractional translation via one bilinear warp), "color",
-    # "cutout". "affine" is opt-in (bilinear, not ADA's anti-aliased
-    # resampling; default trajectories unchanged).
+    # "noise" (ADA's additive-Gaussian corruption, half-normal sigma),
+    # "cutout". "affine"/"noise" are opt-in (default trajectories
+    # unchanged; affine is bilinear, not ADA's anti-aliased resampling).
     augment_ops: str = "geom,color,cutout"
     seed: int = 0
     log_every: int = 100
@@ -442,6 +443,11 @@ class TrainConfig:
     # steps; 0 disables (it pauses training for the eval pass).
     eval_every: int = 0
     eval_samples: int = 1024
+    # Also compute sliced Wasserstein distance (io/swd.py, ProGAN §5) at
+    # each in-training eval — logged as eval_swd_<res>/eval_swd_avg. A
+    # second, weights-free quality signal alongside rFID (different
+    # failure sensitivities: SWD reads raw pixel statistics per scale).
+    eval_swd: bool = False
     # Numerics: params/opt-state in fp32, compute in bf16 on TPU.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -486,7 +492,7 @@ class TrainConfig:
             raise ValueError(f"bcr_gamma must be >= 0, got {self.bcr_gamma}")
         if not 0.0 <= self.bcr_p <= 1.0:
             raise ValueError(f"bcr_p must be in [0, 1], got {self.bcr_p}")
-        cats = ("geom", "affine", "color", "cutout", "")
+        cats = ("geom", "affine", "color", "noise", "cutout", "")
         for field_name in ("bcr_ops", "augment_ops"):
             bad = [s for s in getattr(self, field_name).split(",")
                    if s.strip() not in cats]

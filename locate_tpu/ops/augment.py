@@ -44,7 +44,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-CATEGORIES = ("geom", "affine", "color", "cutout")
+CATEGORIES = ("geom", "affine", "color", "noise", "cutout")
 
 
 def augment_pipeline(
@@ -72,6 +72,8 @@ def augment_pipeline(
         x = _affine(jax.random.fold_in(key, 0xAFF1), p, x)
     if "color" in ops:
         x = _color(ks, p, x)
+    if "noise" in ops:
+        x = _noise(jax.random.fold_in(key, 0x4E6F69), p, x)
     if "cutout" in ops:
         x = _cutout(ks, p, x)
     return x
@@ -222,6 +224,22 @@ def _color(ks, p, x):
         ).sum(-1, keepdims=True)
         x = blend(s_apply, (x - luma) * sfac + luma)
     return x
+
+
+def _noise(key, p, x):
+    """ADA's image-space corruption category (arXiv 2006.06676 App. B
+    "noise"): additive per-pixel Gaussian noise whose per-sample std is
+    half-normal, sigma = |N(0,1)| * 0.1 (images in [-1, 1]). Keys fold
+    off a disjoint stream (like "affine"), so enabling this category
+    never shifts the other categories' draws. Differentiable in x
+    trivially (identity gradient on the image path)."""
+    n = x.shape[0]
+    k_a, k_s, k_n = jax.random.split(key, 3)
+    apply = jax.random.bernoulli(k_a, p, (n,))
+    sigma = jnp.abs(jax.random.normal(k_s, (n, 1, 1, 1), jnp.float32)) * 0.1
+    noise = jax.random.normal(k_n, x.shape, jnp.float32) * sigma
+    return jnp.where(apply[:, None, None, None], x + noise.astype(x.dtype),
+                     x)
 
 
 def _cutout(ks, p, x):

@@ -191,8 +191,19 @@ def train(
                     # feature extraction run data-parallel on a pod
                     mesh=mesh if mesh.size > 1 else None,
                 )
+                if cfg.train.eval_swd:
+                    from locate_tpu.io.swd import swd_generator
+
+                    scores.update(swd_generator(
+                        gan, g_params, batches.dataset,
+                        n_samples=cfg.train.eval_samples,
+                        seed=cfg.train.seed,
+                    ))
                 logger.log_scalars(
-                    step_num, {"eval_rfid": scores["fid"], "eval_rkid": scores["kid"]}
+                    step_num,
+                    {"eval_rfid": scores["fid"], "eval_rkid": scores["kid"],
+                     **{f"eval_{k}": v for k, v in scores.items()
+                        if k.startswith("swd")}},
                 )
                 if "on_eval" in hooks:
                     hooks["on_eval"](step_num, scores)

@@ -117,6 +117,34 @@ def test_rot90_actually_fires():
     assert any(rotated), "no sample shows a 90/270 rotation at p=1"
 
 
+def test_noise_category():
+    """ADA's additive-noise corruption ("noise", opt-in): p=0 identity,
+    p=1 additive (pixel deltas are per-sample-scaled Gaussian — the image
+    structure survives, unlike cutout/geom), disjoint key stream (other
+    categories' outputs unchanged by toggling it), differentiable with
+    identity gradient on the image path."""
+    x = _imgs(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    y0 = augment_pipeline(k, x, 0.0, ops=("noise",))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y0))
+    y1 = augment_pipeline(k, x, 1.0, ops=("noise",))
+    d = np.asarray(y1 - x)
+    assert (np.abs(d) > 0).mean() > 0.99  # dense perturbation
+    assert np.abs(d).mean() < 0.5         # small (sigma ~ |N|*0.1)
+    # per-sample sigma differs (half-normal draw per sample)
+    stds = d.reshape(d.shape[0], -1).std(axis=1)
+    assert stds.std() > 1e-3
+    # toggling "noise" must not shift the other categories' draws
+    a = augment_pipeline(k, x, 1.0, ops=("geom", "color", "cutout"))
+    b = augment_pipeline(k, x, 1.0, ops=("geom", "color", "noise", "cutout"))
+    # subtracting the same geom/color/cutout output isolates the noise
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    # additive => gradient of sum(aug(x)) w.r.t. x is exactly ones
+    g = jax.grad(lambda im: jnp.sum(augment_pipeline(k, im, 1.0,
+                                                     ops=("noise",))))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0, rtol=1e-6)
+
+
 def test_ops_subset_identity():
     """Disabled categories are structurally absent: geom-only output of a
     constant image is the image itself (geometry permutes equal pixels),

@@ -101,6 +101,31 @@ def test_patch_descriptors_shapes_and_bounds():
             np.zeros((3, 16, 16, 3), np.uint8))
 
 
+def test_in_training_swd_logged(tiny_config, tmp_path):
+    """train.eval_swd: the in-training eval also logs eval_swd_* scalars
+    (metrics.jsonl) alongside eval_rfid."""
+    import dataclasses
+    import json
+
+    from locate_tpu.train.loop import train
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        workdir=str(tmp_path),
+        train=dataclasses.replace(
+            tiny_config.train, eval_every=2, eval_samples=8, eval_swd=True,
+            log_every=2,
+        ),
+    )
+    train(cfg, total_steps=2)
+    recs = [json.loads(l) for l in
+            open(tmp_path / "metrics.jsonl").read().splitlines()]
+    evals = [r for r in recs if "eval_swd_avg" in r]
+    assert evals and np.isfinite(evals[-1]["eval_swd_avg"])
+    assert f"eval_swd_{tiny_config.model.resolution}" in evals[-1]
+    assert "eval_rfid" in evals[-1]
+
+
 def test_swd_generator_end_to_end(tiny_config):
     from locate_tpu.data.datasets import SyntheticImages
     from locate_tpu.models.gan import build_gan
