@@ -699,9 +699,77 @@ def cmd_compare(argv: List[str]) -> int:
     return 0
 
 
+def cmd_info(argv: List[str]) -> int:
+    """`info PRESET [overrides]` — model and memory planning without
+    touching a device: per-stage shapes, parameter counts (G/D/total),
+    and the per-device training-state HBM budget (params + Adam moments
+    + EMA shadow, divided per the configured ZeRO stage and mesh size).
+    Everything comes from `jax.eval_shape` over the real constructors —
+    no arrays are materialized, so ffhq_512 answers instantly."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from locate_tpu.models.gan import build_gan
+
+    preset = argv[0] if argv else "cifar10_32"
+    flags, overrides = _split_args(argv[1:])
+    cfg = get_config(preset, overrides)
+    gan = build_gan(cfg)
+
+    def count(tree):
+        return int(sum(int(np.prod(l.shape)) for l in jax.tree.leaves(tree)))
+
+    shapes = jax.eval_shape(gan.init, jax.random.PRNGKey(0))
+    n_g, n_d = count(shapes["generator"]), count(shapes["discriminator"])
+    n_total = n_g + n_d
+    # fp32 training state per replica: params + Adam mu/nu (both nets)
+    # + EMA shadow of G. ZeRO-1 shards the moments+EMA over `data`,
+    # ZeRO-3 the params too (parallel/sharding.py).
+    ema_on = cfg.train.ema_decay > 0
+    ema_bytes = n_g * (2 if cfg.train.ema_dtype == "bfloat16" else 4)
+    dp = cfg.parallel.data_parallel
+    dp = len(jax.devices()) if dp == -1 else dp
+    z = cfg.parallel.zero_stage
+    param_bytes = n_total * 4 / (dp if z >= 3 else 1)
+    opt_bytes = (n_total * 2 * 4 + (ema_bytes if ema_on else 0)) / (
+        dp if z >= 1 else 1
+    )
+    batch_bytes = (
+        cfg.train.global_batch * cfg.model.resolution**2
+        * cfg.model.img_channels
+    ) // max(dp, 1)
+    info = {
+        "preset": cfg.name,
+        "arch": cfg.model.arch,
+        "resolution": cfg.model.resolution,
+        "stage_resolutions": list(cfg.model.stage_resolutions()),
+        "stage_channels": list(cfg.model.stage_channels()),
+        "g_rgb": cfg.model.g_rgb,
+        "params_g": n_g,
+        "params_d": n_d,
+        "params_total": n_total,
+        "zero_stage": z,
+        "data_parallel": dp,
+        "state_bytes_per_device": int(param_bytes + opt_bytes),
+        "state_mib_per_device": round(
+            (param_bytes + opt_bytes) / 2**20, 1
+        ),
+        "input_bytes_per_device_per_step": int(batch_bytes),
+        "global_batch": cfg.train.global_batch,
+        "compute_dtype": cfg.train.compute_dtype,
+    }
+    if cfg.model.arch == "style":
+        info["num_ws"] = gan.generator.num_ws
+    print(json.dumps(info))
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "compare": cmd_compare,
+    "info": cmd_info,
     "sample": cmd_sample,
     "project": cmd_project,
     "eval": cmd_eval,
