@@ -406,6 +406,26 @@ class TrainConfig:
     bcr_gamma: float = 0.0
     bcr_p: float = 0.5
     bcr_ops: str = "geom"
+    # LeCam regularization (arXiv 2104.03310): D loss gains
+    # lecam_gamma * (E[relu(D(real) - ema_fake)^2]
+    #                + E[relu(ema_real - D(fake))^2])
+    # where (ema_real, ema_fake) track the batch-mean logits with decay
+    # lecam_decay (a `lecam` [2]-vector in TrainState when enabled —
+    # None otherwise, so default pytrees are unchanged). Bounds the
+    # real/fake logit gap; the third leg of the limited-data stool
+    # (ADA fights D memorization, bCR shapes invariances, LeCam caps the
+    # divergence D can express). Paper: 0.01-0.3 with decay 0.99.
+    lecam_gamma: float = 0.0
+    lecam_decay: float = 0.99
+    # Orthogonal regularization on G (BigGAN, arXiv 1809.11096 §3, the
+    # off-diagonal form): ortho_gamma * sum_W ||W^T W o (1 - I)||_F^2
+    # over every G weight with ndim >= 2 (conv kernels flattened to
+    # [fan_in, fan_out]; biases/gains/scalars skipped). Nudges filters
+    # toward orthogonality without constraining their norms — BigGAN's
+    # G-side smoothness term (also what makes orthogonal truncation
+    # behave). Fires every step (the term is O(params), cheap next to a
+    # conv forward). 0 disables; the paper uses 1e-4.
+    ortho_gamma: float = 0.0
     # ProGAN-style drift penalty eps * E[D(real)^2] (arXiv 1710.10196
     # §A.1) — keeps D's logits from running away (the observed
     # long-horizon failure mode: D saturates, G gradients explode).
@@ -490,6 +510,18 @@ class TrainConfig:
             raise ValueError("ada_speed_kimg must be positive")
         if self.bcr_gamma < 0.0:
             raise ValueError(f"bcr_gamma must be >= 0, got {self.bcr_gamma}")
+        if self.ortho_gamma < 0.0:
+            raise ValueError(
+                f"ortho_gamma must be >= 0, got {self.ortho_gamma}"
+            )
+        if self.lecam_gamma < 0.0:
+            raise ValueError(
+                f"lecam_gamma must be >= 0, got {self.lecam_gamma}"
+            )
+        if not 0.0 <= self.lecam_decay < 1.0:
+            raise ValueError(
+                f"lecam_decay must be in [0, 1), got {self.lecam_decay}"
+            )
         if not 0.0 <= self.bcr_p <= 1.0:
             raise ValueError(f"bcr_p must be in [0, 1], got {self.bcr_p}")
         cats = ("geom", "affine", "color", "noise", "cutout", "")

@@ -60,7 +60,7 @@ class CheckpointManager:
         # initial values. Disabling a feature on resume (checkpoint HAS
         # the field, template doesn't) still raises orbax's mismatch —
         # that direction would silently drop state.
-        optional = ("ema_params", "ada_p", "pl_mean")
+        optional = ("ema_params", "ada_p", "pl_mean", "lecam")
         candidates = [
             blank
             for r in range(len(optional) + 1)

@@ -173,6 +173,44 @@ def d_rpgan_loss(real_logits: jax.Array, fake_logits: jax.Array,
     return jnp.mean(jax.nn.softplus(-(r - f)))
 
 
+def orthogonal_penalty(params) -> jax.Array:
+    """BigGAN orthogonal regularization (arXiv 1809.11096 §3, the
+    off-diagonal form): sum over every weight leaf with ndim >= 2 of
+    ||W^T W o (1 - I)||_F^2, conv kernels flattened to
+    [fan_in, fan_out] (= HWI x O for this repo's HWIO layout). Biases,
+    gains, and other <2-D leaves are skipped. fp32. The caller scales by
+    ortho_gamma (paper: 1e-4) and adds to the G loss."""
+    tot = jnp.zeros((), jnp.float32)
+    for leaf in jax.tree.leaves(params):
+        if leaf.ndim < 2:
+            continue
+        w = leaf.reshape(-1, leaf.shape[-1]).astype(jnp.float32)
+        gram = w.T @ w
+        gram = gram - jnp.diag(jnp.diagonal(gram))
+        tot = tot + jnp.sum(gram**2)
+    return tot
+
+
+def lecam_penalty(real_logits: jax.Array, fake_logits: jax.Array,
+                  ema_real: jax.Array, ema_fake: jax.Array) -> jax.Array:
+    """LeCam regularization term (arXiv 2104.03310, official-code form):
+
+        E[ relu(D(real) - ema_fake)^2 ] + E[ relu(ema_real - D(fake))^2 ]
+
+    where `ema_real` / `ema_fake` are exponential moving averages of the
+    batch-mean real/fake logits (held in `TrainState.lecam`, updated each
+    optimizer step OUTSIDE this function with stop-gradient semantics —
+    the trackers come from state, so no gradient flows into them here).
+    Pulling D's real scores down toward where it recently put fakes (and
+    vice versa) bounds the WGAN-style logit gap, which the paper links to
+    minimizing a LeCam divergence — the standard limited-data stabilizer
+    alongside ADA/bCR. fp32; added to the D loss only."""
+    r = real_logits.astype(jnp.float32).reshape(-1)
+    f = fake_logits.astype(jnp.float32).reshape(-1)
+    return (jnp.mean(jax.nn.relu(r - ema_fake) ** 2)
+            + jnp.mean(jax.nn.relu(ema_real - f) ** 2))
+
+
 # Families whose G loss needs the real logits (and a global-mean hook):
 # both loss fns take (logits..., mean_fn=jnp.mean).
 RELATIVISTIC = frozenset({"ragan", "rahinge", "rpgan"})

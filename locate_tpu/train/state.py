@@ -30,6 +30,9 @@ class TrainState:
                                     # keeps the pytree unchanged)
     pl_mean: Any = None             # path-length running mean (None when
                                     # train.pl_gamma == 0)
+    lecam: Any = None               # LeCam logit-mean EMAs
+                                    # [ema_real, ema_fake] (None when
+                                    # train.lecam_gamma == 0)
 
 
 def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
@@ -55,5 +58,11 @@ def create_train_state(cfg: Config, gan: GAN, key: jax.Array) -> TrainState:
         ),
         pl_mean=(
             jnp.zeros((), jnp.float32) if cfg.train.pl_gamma > 0.0 else None
+        ),
+        lecam=(
+            # EMAs start at 0 (official-code convention); they re-warm
+            # within ~1/(1-decay) steps, also the enable-on-resume fill.
+            jnp.zeros((2,), jnp.float32)
+            if cfg.train.lecam_gamma > 0.0 else None
         ),
     )

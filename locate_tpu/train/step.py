@@ -40,6 +40,8 @@ from locate_tpu.objectives.losses import (
     g_per_sample,
     get_losses,
     gradient_penalty,
+    lecam_penalty,
+    orthogonal_penalty,
     path_lengths,
     r1_penalty,
 )
@@ -264,8 +266,10 @@ def make_train_step(
                                              **kw)
         return gan.generator.apply(g_params, z, labels, **kw)
 
+    lecam_on = tcfg.lecam_gamma > 0.0
+
     def d_loss_with_aux(d_params, real, labels, fake, fake_labels, step,
-                        k_gp=None, k_bcr=None):
+                        k_gp=None, k_bcr=None, lecam=None):
         real_logits = gan.discriminator.apply(d_params, real, labels)
         fake_logits = gan.discriminator.apply(d_params, fake, fake_labels)
         if relativistic:
@@ -305,6 +309,15 @@ def make_train_step(
             )
             aux["bcr"] = bcr
             loss = loss + tcfg.bcr_gamma * bcr
+        if lecam_on:
+            # LeCam reg (arXiv 2104.03310): penalize real logits above the
+            # fake-mean EMA tracker and fake logits below the real-mean
+            # one. Trackers come from TrainState (no grad path; updated in
+            # `finish` from the pmean'd logit means, so they stay replica-
+            # identical and the penalty is mesh-invariant).
+            lc = lecam_penalty(real_logits, fake_logits, lecam[0], lecam[1])
+            aux["lecam"] = lc
+            loss = loss + tcfg.lecam_gamma * lc
         if tcfg.logit_penalty > 0.0:
             # drift penalty (ProGAN §A.1): bounds |D(real)| so the game
             # can't saturate into softplus's flat region
@@ -382,7 +395,9 @@ def make_train_step(
         return loss, aux
 
     def g_reg(g_params, z, fake_labels, step, rng, pl_mean):
-        """Lazy path-length regularization term for the G loss (StyleGAN2
+        """Parameter/Jacobian regularizers for the G loss: BigGAN
+        orthogonal regularization (ortho_gamma, every step) and lazy
+        path-length regularization (StyleGAN2
         §B). Returns (term, aux). The penalty mean((len - b)^2) is
         decomposed as m2 - 2*b*m1 + b^2 so the cross-replica pmean of the
         mean length happens OUTSIDE the lax.cond (collectives inside cond
@@ -390,8 +405,17 @@ def make_train_step(
         the UPDATED running mean (stop_gradient, as in the reference
         implementations); replica-identical because it is built from the
         pmean'd mean length."""
+        ortho = jnp.zeros((), jnp.float32)
+        o_aux = {}
+        if tcfg.ortho_gamma > 0.0:
+            # Orthogonal regularization (BigGAN §3; objectives/losses.py).
+            # Params are replicated, so the term and its grads are
+            # replica-identical — mesh-invariant with no collective.
+            tot = orthogonal_penalty(g_params)
+            ortho = tcfg.ortho_gamma * tot
+            o_aux = {"ortho": tot}
         if tcfg.pl_gamma <= 0.0:
-            return jnp.zeros((), jnp.float32), {}
+            return ortho, o_aux
         k_pl = jax.random.fold_in(rng, 0x504C3132)
 
         def fire(_):
@@ -418,7 +442,8 @@ def make_train_step(
         )
         pen = m2 - 2.0 * base * m1 + base * base * fired
         term = pen * (tcfg.pl_gamma * tcfg.pl_interval)
-        return term, {"pl": term, "pl_len": m1g, "pl_mean": base}
+        return term + ortho, {"pl": term, "pl_len": m1g, "pl_mean": base,
+                               **o_aux}
 
     def fm_term(d_params_used, fake, fake_labels, real, labels):
         """Feature-matching loss for G (arXiv 1606.03498 §3.1):
@@ -512,6 +537,18 @@ def make_train_step(
         pl_mean = state.pl_mean
         if g_aux and "pl_mean" in g_aux:
             pl_mean = g_aux["pl_mean"]  # replica-identical (see g_reg)
+        lecam = state.lecam
+        if lecam_on:
+            # EMA trackers of the batch-mean logits (official-code form,
+            # decay applied every optimizer step). pmean'd BEFORE the
+            # update so the replicated trackers stay bitwise identical
+            # across replicas; under the multi-critic flavor d_aux is the
+            # mean over all d_steps critic batches (one tracker update
+            # per optimizer step — documented coarsening).
+            m = pmean(jnp.stack([d_aux["real_logits"],
+                                 d_aux["fake_logits"]]).astype(jnp.float32))
+            lecam = (tcfg.lecam_decay * lecam
+                     + (1.0 - tcfg.lecam_decay) * m)
         metrics = {
             **(g_aux or {}),
             "d_loss": d_loss,
@@ -538,6 +575,7 @@ def make_train_step(
             ema_params=ema_params,
             ada_p=ada_p,
             pl_mean=pl_mean,
+            lecam=lecam,
         )
         return new_state, metrics
 
@@ -584,7 +622,7 @@ def make_train_step(
             # real — D's actual input — matching the ADA paper.
             return d_loss_with_aux(
                 d_params, real_in, labels, fake_d_in, fake_labels_d,
-                state.step, k_gp, bcr_key(rng)
+                state.step, k_gp, bcr_key(rng), state.lecam
             )
 
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -654,7 +692,8 @@ def make_train_step(
 
             def d_loss_fn(p):
                 return d_loss_with_aux(p, real_in, labels_i, fake_in, flab,
-                                       state.step, k_gp, bcr_key(ri))
+                                       state.step, k_gp, bcr_key(ri),
+                                       state.lecam)
 
             (d_loss, d_aux), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
@@ -741,7 +780,7 @@ def make_train_step(
             )
             return d_loss_with_aux(d_params, real_in, labels, fake,
                                    fake_labels, state.step, k_gp,
-                                   bcr_key(rng))
+                                   bcr_key(rng), state.lecam)
 
         def g_loss_fn(g_params):
             fake = maybe_aug_fake(
