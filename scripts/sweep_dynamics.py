@@ -59,6 +59,18 @@ ARMS = {
     "wgan_gp": {"train.r1_gamma": "0.0", "train.loss": "wgan",
                 "train.gp_gamma": "10.0"},
     "r1_01_sn": {"train.r1_gamma": "0.1", "model.spectral_norm": "true"},
+    # round-3 session-J regularizers: LeCam (limited-data logit-gap cap)
+    # and BigGAN orthogonal reg, alone and on the shipped r1 default
+    "lecam": {"train.r1_gamma": "0.0", "train.lecam_gamma": "0.3"},
+    "r1_01_lecam": {"train.r1_gamma": "0.1", "train.lecam_gamma": "0.3"},
+    "ortho": {"train.r1_gamma": "0.0", "train.ortho_gamma": "1e-4"},
+    # the paper-recipe limited-data stack (ADA + bCR + LeCam)
+    "limited_stack": {
+        "train.r1_gamma": "0.1",
+        "train.ada_target": "0.6",
+        "train.bcr_gamma": "10.0",
+        "train.lecam_gamma": "0.3",
+    },
 }
 
 
