@@ -173,16 +173,31 @@ def d_rpgan_loss(real_logits: jax.Array, fake_logits: jax.Array,
     return jnp.mean(jax.nn.softplus(-(r - f)))
 
 
+# Non-weight >=2-D leaves excluded from orthogonal regularization, by
+# pytree key name: the style generator's learned const input (4,4,C) and
+# the class-embedding tables. BigGAN's recipe (arXiv 1809.11096 §3 and the
+# official BigGAN-PyTorch `ortho` helper) regularizes weight MATRICES only
+# and explicitly blacklists the shared embedding — pulling an embedding
+# table or a learned input toward column-orthogonality is a different
+# (unwanted) prior.
+ORTHO_EXCLUDE = frozenset({"const", "class_embed"})
+
+
 def orthogonal_penalty(params) -> jax.Array:
     """BigGAN orthogonal regularization (arXiv 1809.11096 §3, the
     off-diagonal form): sum over every weight leaf with ndim >= 2 of
     ||W^T W o (1 - I)||_F^2, conv kernels flattened to
     [fan_in, fan_out] (= HWI x O for this repo's HWIO layout). Biases,
-    gains, and other <2-D leaves are skipped. fp32. The caller scales by
-    ortho_gamma (paper: 1e-4) and adds to the G loss."""
+    gains, and other <2-D leaves are skipped, as are non-weight leaves
+    whose pytree key is in ORTHO_EXCLUDE (learned const inputs,
+    class-embedding tables — BigGAN blacklists its shared embedding).
+    fp32. The caller scales by ortho_gamma (paper: 1e-4) and adds to the
+    G loss."""
     tot = jnp.zeros((), jnp.float32)
-    for leaf in jax.tree.leaves(params):
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         if leaf.ndim < 2:
+            continue
+        if any(getattr(k, "key", None) in ORTHO_EXCLUDE for k in path):
             continue
         w = leaf.reshape(-1, leaf.shape[-1]).astype(jnp.float32)
         gram = w.T @ w
@@ -193,7 +208,7 @@ def orthogonal_penalty(params) -> jax.Array:
 
 def lecam_penalty(real_logits: jax.Array, fake_logits: jax.Array,
                   ema_real: jax.Array, ema_fake: jax.Array) -> jax.Array:
-    """LeCam regularization term (arXiv 2104.03310, official-code form):
+    """LeCam regularization term (arXiv 2104.03310):
 
         E[ relu(D(real) - ema_fake)^2 ] + E[ relu(ema_real - D(fake))^2 ]
 
@@ -201,6 +216,12 @@ def lecam_penalty(real_logits: jax.Array, fake_logits: jax.Array,
     batch-mean real/fake logits (held in `TrainState.lecam`, updated each
     optimizer step OUTSIDE this function with stop-gradient semantics —
     the trackers come from state, so no gradient flows into them here).
+    Two deliberate deviations from the official lecam-gan code: (a) the
+    penalty reads the PREVIOUS step's trackers (one-step lag — the update
+    lands after the D loss, keeping the loss a pure function of state and
+    the trackers finite-gated), and (b) warmup is a plain EMA from a zero
+    init rather than the official simple-average ramp; both vanish within
+    ~1/(1-decay) steps and neither changes the fixed point.
     Pulling D's real scores down toward where it recently put fakes (and
     vice versa) bounds the WGAN-style logit gap, which the paper links to
     minimizing a LeCam divergence — the standard limited-data stabilizer

@@ -547,8 +547,12 @@ def make_train_step(
             # per optimizer step — documented coarsening).
             m = pmean(jnp.stack([d_aux["real_logits"],
                                  d_aux["fake_logits"]]).astype(jnp.float32))
-            lecam = (tcfg.lecam_decay * lecam
-                     + (1.0 - tcfg.lecam_decay) * m)
+            # Gate on finiteness, mirroring apply_if_finite's protection
+            # of the params: one NaN/Inf logit batch must not permanently
+            # poison the trackers (and through them every later D loss).
+            new_lecam = (tcfg.lecam_decay * lecam
+                         + (1.0 - tcfg.lecam_decay) * m)
+            lecam = jnp.where(jnp.isfinite(m).all(), new_lecam, lecam)
         metrics = {
             **(g_aux or {}),
             "d_loss": d_loss,

@@ -109,6 +109,42 @@ def test_lecam_tracker_chain(tiny_config):
     assert "lecam" in hist[0]
 
 
+def test_lecam_trackers_skip_nonfinite_batches(tiny_config):
+    """A NaN batch (non-finite logits) must not poison the trackers:
+    the update is gated on isfinite, mirroring apply_if_finite's
+    protection of the params (ADVICE r3)."""
+    cfg = _cfg(tiny_config, lecam_gamma=0.1, lecam_decay=0.9)
+    gan = build_gan(cfg)
+    mesh = single_device_mesh(cfg.parallel)
+    with mesh:
+        state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+        jit_for, sh_for, b_shard = make_sharded_train_step(cfg, gan, mesh)
+        state = place_train_state(state, sh_for(state))
+        step = jit_for(state)
+        shape = (cfg.train.global_batch, cfg.model.resolution,
+                 cfg.model.resolution, 3)
+        lab = jnp.zeros((cfg.train.global_batch,), jnp.int32)
+        good = jax.device_put(
+            {"image": jax.random.uniform(jax.random.PRNGKey(1), shape,
+                                         minval=-1.0, maxval=1.0),
+             "label": lab},
+            {"image": b_shard, "label": b_shard},
+        )
+        bad = jax.device_put(
+            {"image": jnp.full(shape, jnp.nan, jnp.float32), "label": lab},
+            {"image": b_shard, "label": b_shard},
+        )
+        state, _ = step(state, good)
+        after_good = np.asarray(jax.device_get(state.lecam))
+        assert np.isfinite(after_good).all()
+        state, _ = step(state, bad)
+        after_bad = np.asarray(jax.device_get(state.lecam))
+        np.testing.assert_array_equal(after_bad, after_good)
+        # and training recovers: the next finite batch moves them again
+        state, m = step(state, good)
+        assert np.isfinite(np.asarray(jax.device_get(state.lecam))).all()
+
+
 def test_lecam_dp_matches_single_device(tiny_config):
     """Trackers update from pmean'd means and the penalty is a global-batch
     mean, so the LeCam program stays DP == single-device."""

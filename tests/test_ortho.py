@@ -93,6 +93,26 @@ def test_orthogonal_penalty_torch_golden():
                                   np.zeros(5, np.float32))
 
 
+def test_ortho_excludes_const_and_class_embed():
+    """Non-weight >=2-D leaves (style const input, class-embedding tables)
+    are excluded by pytree key — BigGAN's recipe regularizes weight
+    matrices only and blacklists the shared embedding."""
+    rng = np.random.default_rng(2)
+    w = rng.normal(size=(6, 4)).astype(np.float32)
+    base = {"dense": {"kernel": jnp.asarray(w)}}
+    withx = {
+        "dense": {"kernel": jnp.asarray(w)},
+        "const": jnp.asarray(rng.normal(size=(4, 4, 3)).astype(np.float32)),
+        "class_embed": jnp.asarray(
+            rng.normal(size=(10, 8)).astype(np.float32)),
+    }
+    np.testing.assert_allclose(float(orthogonal_penalty(withx)),
+                               float(orthogonal_penalty(base)), rtol=1e-6)
+    grads = jax.grad(orthogonal_penalty)(withx)
+    np.testing.assert_array_equal(np.asarray(grads["const"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(grads["class_embed"]), 0.0)
+
+
 def test_ortho_orthogonal_weights_are_zero_penalty():
     """An exactly-orthogonal matrix (columns orthonormal) has zero
     off-diagonal gram — the penalty's fixed point."""
