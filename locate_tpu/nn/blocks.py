@@ -84,11 +84,23 @@ def conv_block(
 # in docs/DESIGN.md): the stage-group kernel beats XLA only in the
 # huge-spatial HBM-bound regime (1.33-1.40x at 512^2) and is parity-to-
 # slightly-slower below (0.86-1.01 at 64^2-256^2, where XLA's conv is
-# MXU-bound and already optimal). Fuse the conv+attention pair only at
-# >= 512^2 locations — exactly where BASELINE config 5 prescribes "fused
-# attention-conv Pallas blocks"; below, the stage keeps XLA convs + the
-# standalone fused attention kernel (1.2-1.5x, round 1).
-FUSE_MIN_LOCATIONS = 512 * 512
+# MXU-bound and already optimal). The per-flavor thresholds live in
+# ops/pallas/gate_profile.json (VERDICT r3 #5 — data, not code; re-tune
+# on real hardware with scripts/retune_gates.py). The checked-in default
+# fuses every flavor only at >= 512^2 locations — exactly where BASELINE
+# config 5 prescribes "fused attention-conv Pallas blocks"; below, the
+# stage keeps XLA convs + the standalone fused attention kernel
+# (1.2-1.5x, round 1). Setting FUSE_MIN_LOCATIONS to an int overrides
+# the profile for EVERY flavor (tests pin the gate this way).
+FUSE_MIN_LOCATIONS = None
+
+
+def _fuse_threshold(flavor: str) -> int:
+    if FUSE_MIN_LOCATIONS is not None:
+        return FUSE_MIN_LOCATIONS
+    from locate_tpu.ops.pallas import gate_profile
+
+    return gate_profile.min_locations(flavor)
 
 
 def stage_fusable(cfg: ModelConfig) -> bool:
@@ -187,23 +199,32 @@ def _maybe_fused_stage(layers, kinds, cfg: ModelConfig, compute_dtype) -> Layer:
             hs, ws = x.shape[1], x.shape[2]
             if up:
                 hs, ws = 2 * hs, 2 * ws  # fused output is at FINE res
-            big = hs * ws >= FUSE_MIN_LOCATIONS
-            fuse_pair = (
+            locs = hs * ws
+            pair_ok = (
                 kind[0] == "conv"
-                and big
                 and i + 1 < len(layers)
                 and kinds[i + 1][0] == "attn"
                 and cfg.attention.residual
             )
-            if fuse_pair:
-                _, cin, cout = kind
+            if pair_ok:
                 dn = (not up) and i + 2 < len(layers) and kinds[i + 2][0] == "down"
+                flavor = "up_pair" if up else ("down_pair" if dn else "pair")
+                pair_ok = locs >= _fuse_threshold(flavor)
+            if pair_ok:
+                _, cin, cout = kind
                 x = _apply_fused_stage(
                     cfg, cin, cout, compute_dtype, params[i], params[i + 1],
                     x, upsample=up, downsample=dn,
                 )
                 i += 3 if dn else 2
-            elif kind[0] == "conv" and big:
+            elif kind[0] == "conv" and locs >= _fuse_threshold(
+                "up_conv" if up else (
+                    "down_conv"
+                    if (not up) and i + 1 < len(layers)
+                    and kinds[i + 1][0] == "down"
+                    else "conv"
+                )
+            ):
                 _, cin, cout = kind
                 dn = (not up) and i + 1 < len(layers) and kinds[i + 1][0] == "down"
                 x = _apply_fused_stage(

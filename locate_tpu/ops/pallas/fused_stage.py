@@ -615,18 +615,23 @@ def _kernel_conv_bwd(x_ref, xu_ref, xd_ref, dw_ref, dwu_ref, dwd_ref,
 
 
 def _pick_rows(h: int, width: int, c: int, co: int, hd: int,
-               budget: int = 4 * 1024 * 1024) -> int:
+               budget: Optional[int] = None) -> int:
     """Rows per tile: the kernel keeps ~4 row-copies of C channels and ~3 of
     Co (+gate hidden) live per row; stay under `budget` VMEM for the tile
     state (weights + pipeline double buffering come on top).
 
-    LOCATE_TPU_VMEM_BUDGET (bytes) overrides the default for tuning runs;
-    measured on the emulated chip (DESIGN.md "gate re-check"): 2-16 MiB all
-    land within the session noise band at the losing 256^2 shapes, so the
-    default stays."""
+    The default budget comes from gate_profile.json (4 MiB as checked in;
+    scripts/retune_gates.py rewrites it). LOCATE_TPU_VMEM_BUDGET (bytes)
+    overrides for one-off tuning runs; measured on the emulated chip
+    (DESIGN.md "gate re-check"): 2-16 MiB all land within the session
+    noise band at the losing 256^2 shapes, so the default stays."""
     env = os.environ.get("LOCATE_TPU_VMEM_BUDGET")
     if env:
         budget = int(env)
+    elif budget is None:
+        from locate_tpu.ops.pallas import gate_profile
+
+        budget = gate_profile.vmem_budget()
     per_row = width * (2 * (4 * c + 3 * co + hd) + 4 * co)
     t = max(1, budget // max(1, per_row))
     for cand in (128, 64, 32, 16, 8, 4, 2, 1):
@@ -862,7 +867,11 @@ def _pallas_conv_backward(ops: dict, dw2: jax.Array, *, h, w, groups, eps,
     wc3 = ops["w_col"].reshape(3, co, co).astype(cd)
     has_skip = "w_skip" in ops
 
-    rows = _pick_rows(h, w, c, co, 0, budget=2 * 1024 * 1024)
+    # backward keeps ~2x the forward's live row state: run at half the
+    # profile budget (LOCATE_TPU_VMEM_BUDGET still overrides inside)
+    from locate_tpu.ops.pallas import gate_profile as _gp
+
+    rows = _pick_rows(h, w, c, co, 0, budget=_gp.vmem_budget() // 2)
     if upsample:
         rows = max(rows, 2)
     s = h // rows

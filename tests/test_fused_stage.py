@@ -480,3 +480,86 @@ def test_pick_rows_budget_env(monkeypatch):
     assert small <= base <= big
     assert small < big
     assert 256 % small == 0 and 256 % big == 0
+
+
+def test_gate_profile_defaults_and_override(monkeypatch, tmp_path):
+    """Gates are data (VERDICT r3 #5): the checked-in profile carries every
+    flavor at the round-3 measured 512^2 threshold + the 4 MiB VMEM budget;
+    per-flavor profiles and the all-flavor FUSE_MIN_LOCATIONS override both
+    route through blocks._fuse_threshold."""
+    import json
+
+    from locate_tpu.ops.pallas import gate_profile
+
+    prof = gate_profile.load()
+    for fl in gate_profile.FLAVORS:
+        assert prof["min_locations"][fl] == 512 * 512
+    assert gate_profile.vmem_budget() == 4 * 1024 * 1024
+
+    # the autouse _force_fusion fixture sets FUSE_MIN_LOCATIONS=0: the
+    # int override wins over the profile for every flavor
+    assert blocks._fuse_threshold("pair") == 0
+    assert blocks._fuse_threshold("up_conv") == 0
+
+    # per-flavor profile via LOCATE_TPU_GATE_PROFILE, active only when the
+    # override is None (production default)
+    monkeypatch.setattr(blocks, "FUSE_MIN_LOCATIONS", None)
+    custom = dict(prof)
+    custom["min_locations"] = dict(prof["min_locations"], pair=64,
+                                   down_pair=16)
+    p = tmp_path / "prof.json"
+    p.write_text(json.dumps(custom))
+    monkeypatch.setenv("LOCATE_TPU_GATE_PROFILE", str(p))
+    try:
+        assert blocks._fuse_threshold("pair") == 64
+        assert blocks._fuse_threshold("down_pair") == 16
+        assert blocks._fuse_threshold("conv") == 512 * 512
+    finally:
+        monkeypatch.delenv("LOCATE_TPU_GATE_PROFILE")
+        gate_profile.reload()
+
+
+def test_gate_profile_dispatches_per_flavor(monkeypatch, tmp_path):
+    """A profile that opens ONLY the down_pair flavor makes the
+    discriminator stage take the fused path at small sizes (bf16 numerics
+    differ from the oracle beyond bitwise) while a generator stage
+    (up_pair flavor, still at 512^2) stays on the bitwise-identical XLA
+    path."""
+    import json
+
+    from locate_tpu.ops.pallas import gate_profile
+
+    monkeypatch.setattr(blocks, "FUSE_MIN_LOCATIONS", None)
+    prof = dict(gate_profile.load())
+    prof["min_locations"] = dict(prof["min_locations"], down_pair=1)
+    p = tmp_path / "prof.json"
+    p.write_text(json.dumps(prof))
+    monkeypatch.setenv("LOCATE_TPU_GATE_PROFILE", str(p))
+    try:
+        cfg = _model_cfg("sigmoid")
+        res = 16
+        fused, oracle = _disc_pair(cfg, 16, 16, res)
+        params = oracle.init(jax.random.PRNGKey(0))
+        params = jax.tree.map(lambda q: q + 0.01, params)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, res, res, 16),
+                              jnp.float32)
+        got = fused.apply(params, x)
+        want = oracle.apply(params, x)
+        # fused (interpret-mode kernel) matches to tolerance but NOT
+        # bitwise — proof the kernel actually dispatched for down_pair
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-5, atol=5e-5)
+        assert np.asarray(got).tobytes() != np.asarray(want).tobytes()
+
+        gfused, goracle = _gen_pair(cfg, 16, 16, res)
+        gp = goracle.init(jax.random.PRNGKey(0))
+        gx = jax.random.normal(jax.random.PRNGKey(2), (2, res // 2, res // 2, 16),
+                               jnp.float32)
+        # up_pair still gated at 512^2: bitwise equal = XLA path ran
+        np.testing.assert_array_equal(
+            np.asarray(gfused.apply(gp, gx)),
+            np.asarray(goracle.apply(gp, gx)),
+        )
+    finally:
+        monkeypatch.delenv("LOCATE_TPU_GATE_PROFILE")
+        gate_profile.reload()
