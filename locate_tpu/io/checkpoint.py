@@ -70,7 +70,9 @@ class CheckpointManager:
         for blank in candidates:
             t = template
             for field in blank:
-                if getattr(t, field) is None:
+                # getattr default: tolerate non-TrainState pytrees (the
+                # manager is generic — e.g. plain dicts in drills/tools).
+                if getattr(t, field, None) is None:
                     break  # nothing to blank; combination is redundant
                 t = t.replace(**{field: None})
             else:
@@ -88,8 +90,8 @@ class CheckpointManager:
                     continue
                 fills = {}
                 for field in optional:
-                    if (getattr(template, field) is None
-                            or getattr(restored, field) is not None):
+                    if (getattr(template, field, None) is None
+                            or getattr(restored, field, None) is not None):
                         continue
                     if field == "ema_params":
                         # Enabling EMA on resume: seed the shadow from the

@@ -255,3 +255,84 @@ def test_topology_migration_roundtrip(tiny_config, tmp_path):
     for a, b in zip(jax.tree.leaves(back), sharded_leaves):
         np.testing.assert_array_equal(np.asarray(a), b)
     mgr.close()
+
+
+# Subprocess body for the async-crash drill below. Writes a sync step-0
+# checkpoint, starts an ASYNC step-1 save of a ~128 MB pytree, and SIGKILLs
+# itself the instant save() returns — the background writer thread dies
+# mid-flight, leaving whatever partial on-disk state a real crash would.
+_CRASH_SCRIPT = r"""
+import os, signal, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from locate_tpu.io.checkpoint import CheckpointManager
+
+ckdir = sys.argv[1]
+def big_state(fill):
+    # ~128 MB across several leaves so the background write is in flight
+    # for a long time relative to the kill latency (microseconds).
+    return {"w%d" % i: jnp.full((4096, 2048), fill + i, jnp.float32)
+            for i in range(4)}
+
+mgr = CheckpointManager(ckdir, keep=3, async_save=True)
+mgr.save(big_state(0.0), step=0)
+mgr.wait()  # step 0 is COMPLETE on disk
+print("SYNC0_DONE", flush=True)
+mgr.save(big_state(100.0), step=1)  # async: returns with write in flight
+os.kill(os.getpid(), signal.SIGKILL)
+"""
+
+
+def test_async_crash_restores_last_complete(tmp_path):
+    """Crash drill (VERDICT r3 #7): a SIGKILL mid-async-save must not tear
+    the store — a fresh CheckpointManager on the same directory sees only
+    the last COMPLETE checkpoint (step 0), restores it intact, and can
+    keep saving. This is the one failure mode async_save introduces over
+    sync (io/checkpoint.py:20)."""
+    import subprocess
+    import sys
+
+    ckdir = str(tmp_path / "ck")
+    script = tmp_path / "crash.py"
+    script.write_text(_CRASH_SCRIPT)
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Prepend (never overwrite: .claude/skills/verify gotcha) so the
+    # subprocess can import locate_tpu from the repo root.
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(script), ckdir],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    # The subprocess must have completed step 0 and then died by SIGKILL.
+    assert "SYNC0_DONE" in proc.stdout, proc.stdout + proc.stderr
+    assert proc.returncode == -9, (proc.returncode, proc.stderr)
+
+    mgr = CheckpointManager(ckdir, keep=3, async_save=True)
+    # Only the complete checkpoint is visible; the torn step-1 attempt
+    # (if any bytes landed) must not be offered for restore.
+    assert mgr.latest_step() == 0, (
+        f"torn checkpoint surfaced as latest: {mgr.latest_step()}"
+    )
+    template = {
+        "w%d" % i: jnp.zeros((4096, 2048), jnp.float32) for i in range(4)
+    }
+    restored = mgr.restore(template)
+    for i in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(restored["w%d" % i]),
+            np.full((4096, 2048), float(i), np.float32),
+        )
+    # The store still works after the crash: a new save at the torn step
+    # succeeds and becomes latest.
+    mgr.save({k: v + 7.0 for k, v in restored.items()}, step=1)
+    mgr.wait()
+    assert mgr.latest_step() == 1
+    again = mgr.restore(template, step=1)
+    np.testing.assert_array_equal(
+        np.asarray(again["w0"]), np.full((4096, 2048), 7.0, np.float32)
+    )
+    mgr.close()
