@@ -280,6 +280,37 @@ def main() -> None:
                             "device prefetch)",
                 "producer_threads": 1,
             }
+            # Decompose the input path (r4): host batch assembly vs
+            # host->device transfer, timed separately. On this tunneled
+            # chip the transfer is the ceiling (~95 MB/s measured; host
+            # assembly ~8x faster) — an environment artifact, not a
+            # pipeline property; a real TPU VM's DMA is ~two orders
+            # faster, putting the producer back in charge.
+            from locate_tpu.data.datasets import make_dataset
+
+            ds = make_dataset(ecfg.data)
+            rng2 = np.random.default_rng(1)
+            nb = 20
+            idxs = rng2.integers(0, len(ds), (nb, batch))
+            fls = rng2.random((nb, batch)) < 0.5
+            imgs, _ = ds.batch_fast(idxs[0], fls[0])
+            t0 = time.perf_counter()
+            for i in range(nb):
+                imgs, _ = ds.batch_fast(idxs[i], fls[i])
+            asm_ips = nb * batch / (time.perf_counter() - t0)
+            xb = np.ascontiguousarray(imgs)
+            jax.device_put(xb).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(nb):
+                jax.device_put(xb).block_until_ready()
+            xfer_ips = nb * batch / (time.perf_counter() - t0)
+            extra["input_path_split"] = {
+                "host_assembly_images_per_sec": round(asm_ips, 1),
+                "transfer_images_per_sec": round(xfer_ips, 1),
+                "note": "input_path ~ pipelined min of the two; transfer "
+                        "is synchronous-timed (a lower bound on the "
+                        "async-overlapped rate)",
+            }
         except Exception as err:  # never lose the headline to an IO issue
             extra["e2e_error"] = repr(err)[:200]
         finally:
