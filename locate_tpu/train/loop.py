@@ -101,6 +101,20 @@ def train(
             _dump_config(cfg)
         sample_key = jax.random.PRNGKey(cfg.train.seed + 1)  # fixed grid latents
         metrics = {}
+        # Lazy-regularizer observability: with r1_interval=16 and
+        # log_every=100 a log step is never a fire step, so the logged
+        # "r1" aliases to 0 forever. Track (host-side, no extra syncs —
+        # just a pytree reference) the most recent dispatch whose window
+        # contained a fire step; log boundaries read it back as
+        # <name>_last_fire. For steps_per_call k>1 the scan metric is the
+        # window MEAN, so the value is the fired penalty diluted by k.
+        lazy_tracks = []  # (metric_name, interval, latest fire metrics)
+        if cfg.train.r1_gamma > 0 and cfg.train.r1_interval > 1:
+            lazy_tracks.append(["r1", cfg.train.r1_interval, None])
+        if cfg.train.r2_gamma > 0 and cfg.train.r1_interval > 1:
+            lazy_tracks.append(["r2", cfg.train.r1_interval, None])
+        if cfg.train.pl_gamma > 0 and cfg.train.pl_interval > 1:
+            lazy_tracks.append(["pl", cfg.train.pl_interval, None])
         eval_extractor = None
         eval_cache: dict = {}
         best_ckpt = None
@@ -132,12 +146,23 @@ def train(
             # dispatched so far, and rates are only read after it.
             timer.tick(metrics if timer.warming_up else None)
 
+            for tr in lazy_tracks:
+                # fire iff some internal step in [step_idx, step_idx+k)
+                # hits the interval (k=1: step_idx itself)
+                if step_idx % tr[1] == 0 or (step_idx % tr[1]) + k > tr[1]:
+                    tr[2] = metrics
+
             step_num = step_idx + k
             if step_num % cfg.train.log_every == 0 or step_num == total_steps:
                 host_metrics = {
                     name: float(v)
                     for name, v in jax.device_get(metrics).items()
                 }
+                for name, _, fire_m in lazy_tracks:
+                    if fire_m is not None and name in fire_m:
+                        host_metrics[name + "_last_fire"] = float(
+                            jax.device_get(fire_m[name])
+                        )
                 host_metrics["images_per_sec"] = timer.images_per_sec
                 host_metrics["sec_per_step"] = timer.sec_per_step / k
                 logger.log_scalars(step_num, host_metrics)

@@ -151,3 +151,31 @@ def test_run_artifacts_config_and_metrics_jsonl(tiny_config, tmp_path):
     train(cfg_ck, total_steps=10, resume=True)   # resumes at 6, appends
     lines3 = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
     assert [l["step"] for l in lines3] == [2, 4, 6, 8, 10]
+
+
+def test_lazy_r1_last_fire_logged(tiny_config, tmp_path):
+    """With r1_interval=4 and log_every=2 the log steps alias the cond to
+    its zero branch (internal step at a log boundary is 1 mod 4 / 3 mod 4,
+    never 0), so the raw "r1" metric logs 0 — r1_last_fire carries the
+    most recent FIRED penalty instead (loop.py lazy_tracks)."""
+    import json
+
+    from locate_tpu.train.loop import train
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        train=dataclasses.replace(
+            tiny_config.train, r1_gamma=1.0, r1_interval=4, log_every=2,
+            sample_every=0, checkpoint_every=0,
+        ),
+        workdir=str(tmp_path / "run"),
+    )
+    train(cfg, total_steps=6, resume=False)
+    lines = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert [l["step"] for l in lines] == [2, 4, 6]
+    # the aliased raw metric: every logged dispatch (internal steps 1, 3,
+    # 5) sits on the lazy-off branch
+    assert all(l["r1"] == 0.0 for l in lines)
+    # fires happened at internal steps 0 (logged at 2) and 4 (logged at 6)
+    assert all(l["r1_last_fire"] > 0.0 for l in lines)
+    assert lines[2]["r1_last_fire"] != lines[0]["r1_last_fire"]
