@@ -43,6 +43,12 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=2500)
     p.add_argument("--batch", type=int, default=0,
                    help="0 = preset default (64)")
+    p.add_argument("--steps-per-call", type=int, default=0,
+                   help="0 = preset default (1). Over the tunneled chip "
+                   "each dispatch costs ~225 ms RPC regardless of compute, "
+                   "so k>1 amortizes it (trajectory is scan==loop, pinned "
+                   "by tests/test_step_variants.py). Must divide every "
+                   "cadence; resume requires the checkpoint step % k == 0.")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -105,6 +111,8 @@ def main(argv=None) -> int:
     ]
     if args.batch:
         overrides.append(f"train.global_batch={args.batch}")
+    if args.steps_per_call:
+        overrides.append(f"train.steps_per_call={args.steps_per_call}")
     t0 = time.perf_counter()
     rc = cli.main(["train", *overrides])
     log("train", t0, rc=rc, steps=args.steps)
