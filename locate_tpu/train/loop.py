@@ -20,6 +20,7 @@ from locate_tpu.parallel.sharding import make_step_for, place_train_state
 from locate_tpu.train.state import TrainState, create_train_state
 from locate_tpu.utils.metrics import MetricsLogger
 from locate_tpu.utils.profiling import StepTimer, trace_annotation
+from locate_tpu.utils.runlock import RunLock
 
 
 def _dump_config(cfg: Config) -> None:
@@ -43,7 +44,27 @@ def train(
 
     `hooks` may provide "on_metrics(step, metrics)" and
     "on_samples(step, images_u8)" callbacks (used by tests and TB logging).
+
+    The workdir is exclusively locked for the duration (process 0 only —
+    in a multi-host job every process shares one logical run, and only
+    process 0 writes the artifacts the lock protects): a second `train()`
+    on the same workdir fails fast instead of corrupting metrics.jsonl
+    and racing checkpoint writes. See utils/runlock.py.
     """
+    lock = RunLock.acquire(cfg.workdir) if jax.process_index() == 0 else None
+    try:
+        return _train_locked(cfg, total_steps, hooks, resume)
+    finally:
+        if lock is not None:
+            lock.release()
+
+
+def _train_locked(
+    cfg: Config,
+    total_steps: Optional[int] = None,
+    hooks: Optional[Dict[str, Callable]] = None,
+    resume: bool = True,
+) -> TrainState:
     hooks = hooks or {}
     total_steps = total_steps or cfg.train.total_steps
     gan = build_gan(cfg)
