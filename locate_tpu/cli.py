@@ -15,6 +15,18 @@ from typing import List, Optional
 from locate_tpu.config import get_config, parse_cli_overrides
 
 
+
+def _resolve_config(preset, overrides):
+    """get_config + process-global side effects every subcommand wants:
+    the persistent compilation cache (Config.compile_cache)."""
+    cfg = get_config(preset, overrides)
+    if cfg.compile_cache:
+        from locate_tpu.utils import compile_cache
+
+        compile_cache.enable(cfg.compile_cache)
+    return cfg
+
+
 def _split_args(argv: List[str]):
     """--key=value / --key value flags; bare key=value args are config
     overrides."""
@@ -67,7 +79,7 @@ def cmd_train(argv: List[str]) -> int:
         import jax
 
         jax.config.update("jax_debug_nans", True)
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     trace_dir = flags.get("profile")
     with profiler_trace(
         (cfg.workdir + "/trace") if trace_dir is True else trace_dir
@@ -97,7 +109,7 @@ def cmd_sample(argv: List[str]) -> int:
 
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     gan = build_gan(cfg)
     state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
     ckpt_dir = _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints"
@@ -163,7 +175,7 @@ def cmd_project(argv: List[str]) -> int:
 
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     gan = build_gan(cfg)
     state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
     ckpt_dir = _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints"
@@ -238,7 +250,7 @@ def cmd_export(argv: List[str]) -> int:
 
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     gan = build_gan(cfg)
     state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
     mgr = CheckpointManager(
@@ -332,7 +344,7 @@ def cmd_eval(argv: List[str]) -> int:
 
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     gan = build_gan(cfg)
     state = create_train_state(cfg, gan, jax.random.PRNGKey(cfg.train.seed))
     ckpt_dir = _str_flag(flags, "checkpoint") or cfg.workdir + "/checkpoints"
@@ -444,7 +456,7 @@ def cmd_pack(argv: List[str]) -> int:
 
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     src = make_dataset(cfg.data)
     out = _str_flag(flags, "out") or (
         (cfg.data.path.rstrip("/") or cfg.workdir)
@@ -494,7 +506,7 @@ def cmd_bench_input(argv: List[str]) -> int:
 
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     batches = int(_str_flag(flags, "batches", "20"))
     prod = BatchProducer(
         make_dataset(cfg.data), cfg.train.global_batch,
@@ -551,7 +563,7 @@ def cmd_bench_sample(argv: List[str]) -> int:
 
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     batch = int(_str_flag(flags, "batch", "64"))
     steps = int(_str_flag(flags, "steps", "20"))
     if batch < 1 or steps < 1:
@@ -715,7 +727,7 @@ def cmd_info(argv: List[str]) -> int:
 
     preset = argv[0] if argv else "cifar10_32"
     flags, overrides = _split_args(argv[1:])
-    cfg = get_config(preset, overrides)
+    cfg = _resolve_config(preset, overrides)
     gan = build_gan(cfg)
 
     def count(tree):

@@ -635,6 +635,12 @@ class Config:
     # pure-XLA composition is always available as fallback & test oracle.
     use_pallas: bool = False
     workdir: str = "runs/default"
+    # Persistent XLA compilation-cache directory ("" = off). On the
+    # tunneled-TPU deployment every jit signature costs a 30s-to-minutes
+    # remote compile; with a cache dir, relaunches (crash resume,
+    # periodic eval jobs, the next round's driver) reload the serialized
+    # executable instead of recompiling. See utils/compile_cache.py.
+    compile_cache: str = ""
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,10 @@ def train(
     on the same workdir fails fast instead of corrupting metrics.jsonl
     and racing checkpoint writes. See utils/runlock.py.
     """
+    if cfg.compile_cache:
+        from locate_tpu.utils import compile_cache
+
+        compile_cache.enable(cfg.compile_cache)
     lock = RunLock.acquire(cfg.workdir) if jax.process_index() == 0 else None
     try:
         return _train_locked(cfg, total_steps, hooks, resume)
