@@ -51,6 +51,16 @@ class AttentionConfig:
     # If true the block computes x * (1 + gate_centered) residually so an
     # all-zero gate MLP is the identity at init.
     residual: bool = True
+    # Upper bound on the gate value (0 = unbounded). The mean-1 softmax
+    # gate ranges [0, H*W]; unbounded, a saturated softmax concentrates
+    # the whole feature map into a few locations (the r4 quality run's
+    # collapse: near-constant features whose GroupNorm backward amplifies
+    # by rsqrt(eps)~316 PER LAYER, compounding to >=1e19 grad norms —
+    # docs/QUALITY_r4.md). The clamp keeps identity-at-init (gate=1) and
+    # bounds both forward concentration and backward amplification at
+    # gate_max per attention layer. Applied in the XLA gate and both
+    # Pallas kernel paths (oracle-matched incl. the clamp's subgradient).
+    gate_max: float = 16.0
     # --- kind="self" only (SAGAN self-attention) ---
     # Attention heads (q/k/v dims split per head, transformer-style).
     heads: int = 1

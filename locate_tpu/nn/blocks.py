@@ -167,6 +167,7 @@ def _apply_fused_stage(cfg: ModelConfig, in_ch, out_ch, compute_dtype,
             b1=attn_params["to_hidden"]["b"],
             w2=attn_params["to_logits"]["w"][0, 0],
             b2=attn_params["to_logits"]["b"],
+            gate_max=acfg.gate_max,
         )
     return fused_stage(x.astype(cd), **kw)
 

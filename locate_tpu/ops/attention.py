@@ -77,9 +77,16 @@ def coord_features(height: int, width: int, features: int, dtype=jnp.float32) ->
     return jnp.asarray(_coord_features_np(height, width, features), dtype)
 
 
-def locate_gate(x: jax.Array, logits: jax.Array, mode: str, residual: bool) -> jax.Array:
+def locate_gate(x: jax.Array, logits: jax.Array, mode: str, residual: bool,
+                gate_max: float = 0.0) -> jax.Array:
     """Shared gate math: modulate feature map `x` (N,H,W,C) by gate computed
-    from `logits` (N,H,W,C or N,H,W,1). Softmax/stats in fp32."""
+    from `logits` (N,H,W,C or N,H,W,1). Softmax/stats in fp32.
+
+    `gate_max` > 0 clamps the gate (`AttentionConfig.gate_max`): the
+    mean-1 softmax gate is otherwise unbounded above by H*W, and a
+    saturated gate collapses the feature map spatially — the r4 quality
+    run's failure mode (docs/QUALITY_r4.md). where(g > M, M, g) so the
+    subgradient at the boundary is 1, matching torch.clamp."""
     n, h, w, _ = logits.shape
     lf = logits.astype(jnp.float32)
     if mode == "softmax":
@@ -95,6 +102,8 @@ def locate_gate(x: jax.Array, logits: jax.Array, mode: str, residual: bool) -> j
             gate = gate * 2.0
     else:
         raise ValueError(f"unknown attention mode {mode!r}")
+    if gate_max > 0.0:
+        gate = jnp.where(gate > gate_max, jnp.float32(gate_max), gate)
     out = x.astype(jnp.float32) * gate
     return out.astype(x.dtype)
 
@@ -141,7 +150,7 @@ def locate_attention(
             )
         hdn = activation(to_hidden.apply(params["to_hidden"], feats))
         logits = to_logits.apply(params["to_logits"], hdn)
-        return locate_gate(x, logits, cfg.mode, cfg.residual)
+        return locate_gate(x, logits, cfg.mode, cfg.residual, cfg.gate_max)
 
     def apply_pallas(params, x):
         from locate_tpu.ops.pallas.fused_attention import fused_locate_attention
@@ -163,7 +172,7 @@ def locate_attention(
         return fused_locate_attention(
             x.astype(cd), pos_proj, w1x, b1, w2, b2,
             mode=cfg.mode, act=act, leaky_slope=leaky_slope,
-            interpret=interpret,
+            gate_max=cfg.gate_max, interpret=interpret,
         )
 
     def fused_profitable(hw: int) -> bool:

@@ -74,6 +74,22 @@ def _act(kind: str, slope: float):
     raise ValueError(f"unsupported activation for fused attention: {kind!r}")
 
 
+def _clamp_gate(g, gate_max: float):
+    """AttentionConfig.gate_max: cap the gate at a static bound (0 = off).
+    where(g > M, M, g) so the boundary subgradient is 1 (torch.clamp)."""
+    if gate_max > 0.0:
+        return jnp.where(g > gate_max, jnp.float32(gate_max), g)
+    return g
+
+
+def _gate_mask(g, gate_max: float):
+    """d(clamped gate)/d(gate): 1 below the bound, 0 above (static no-op
+    multiplier when the clamp is off)."""
+    if gate_max > 0.0:
+        return (g <= gate_max).astype(jnp.float32)
+    return 1.0
+
+
 def locate_attention_xla_core(
     x2d: jax.Array,       # (N, HW, C)
     pos_proj: jax.Array,  # (HW, Hd) fp32
@@ -86,6 +102,7 @@ def locate_attention_xla_core(
     act: str,
     leaky_slope: float,
     hw_scale: float,
+    gate_max: float = 0.0,
 ) -> jax.Array:
     """Pure-XLA composition — fallback & oracle; numerics match the kernels
     (compute-dtype matmuls with f32 accumulation, gate math in f32)."""
@@ -107,6 +124,7 @@ def locate_attention_xla_core(
         g = jax.nn.sigmoid(l) * 2.0
     else:
         g = jax.nn.softmax(l, axis=1) * hw_scale
+    g = _clamp_gate(g, gate_max)
     return (x2d.astype(jnp.float32) * g).astype(cd)
 
 
@@ -125,9 +143,9 @@ def _gate_logits(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref, act, leaky_slope
 
 
 def _sigmoid_kernel(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                    *, act, leaky_slope):
+                    *, act, leaky_slope, gate_max):
     l = _gate_logits(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref, act, leaky_slope)
-    g = jax.nn.sigmoid(l) * 2.0
+    g = _clamp_gate(jax.nn.sigmoid(l) * 2.0, gate_max)
     o_ref[0] = (x_ref[0].astype(jnp.float32) * g).astype(o_ref.dtype)
 
 
@@ -159,9 +177,10 @@ def _softmax_stats_kernel(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _softmax_apply_kernel(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                          m_ref, s_ref, o_ref, *, act, leaky_slope, hw_scale):
+                          m_ref, s_ref, o_ref, *, act, leaky_slope, hw_scale,
+                          gate_max):
     l = _gate_logits(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref, act, leaky_slope)
-    g = jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale
+    g = _clamp_gate(jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale, gate_max)
     o_ref[0] = (x_ref[0].astype(jnp.float32) * g).astype(o_ref.dtype)
 
 
@@ -252,7 +271,7 @@ def softmax_gate_stats(x2d, pos_proj, w1x, b1, w2, b2, *, act, leaky_slope,
 
 
 def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
-                               leaky_slope, hw_scale, interpret):
+                               leaky_slope, hw_scale, gate_max, interpret):
     """Returns (y, m, se): softmax mode also returns its running max /
     sum-exp stats (saved as residuals so the backward reuses them);
     sigmoid mode returns (y, None, None)."""
@@ -271,7 +290,8 @@ def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
 
     if mode == "sigmoid":
         y = pl.pallas_call(
-            kern(_sigmoid_kernel, act=act, leaky_slope=leaky_slope),
+            kern(_sigmoid_kernel, act=act, leaky_slope=leaky_slope,
+                 gate_max=gate_max),
             grid=(n, s),
             in_specs=[x_spec, pp_spec] + w_specs,
             out_specs=x_spec,
@@ -306,7 +326,7 @@ def _pallas_forward_with_stats(x2d, pos_proj, w1x, b1, w2, b2, *, mode, act,
 
     y = pl.pallas_call(
         kern(_softmax_apply_kernel, act=act, leaky_slope=leaky_slope,
-             hw_scale=hw_scale),
+             hw_scale=hw_scale, gate_max=gate_max),
         grid=(n, s),
         in_specs=[x_spec, pp_spec] + w_specs + [stat_spec, stat_spec],
         out_specs=x_spec,
@@ -337,9 +357,10 @@ _PALLAS_BWD_ACTS = ("leaky_relu", "relu")
 
 def _softmax_csum_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref,
                          b2_ref, m_ref, s_ref, c_ref, c_acc,
-                         *, act, leaky_slope, hw_scale):
-    """Pass A: c[n, cout] = sum_s g * (x * dy), accumulated over a batch
-    row's spatial tiles (grid (N, S), S innermost)."""
+                         *, act, leaky_slope, hw_scale, gate_max):
+    """Pass A: c[n, cout] = sum_s g * mask * (x * dy), accumulated over a
+    batch row's spatial tiles (grid (N, S), S innermost); mask is the
+    gate-clamp subgradient (all-ones when gate_max is off)."""
     sidx = pl.program_id(1)
     l = _gate_logits(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref, act, leaky_slope)
     g = jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale
@@ -347,6 +368,7 @@ def _softmax_csum_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref,
     if l.shape[-1] == 1 and dg.shape[-1] != 1:
         # broadcast gate (per_channel=False): dL/dg sums over channels
         dg = jnp.sum(dg, axis=-1, keepdims=True)
+    dg = dg * _gate_mask(g, gate_max)
     part = jnp.sum(g * dg, axis=0, keepdims=True)
 
     @pl.when(sidx == 0)
@@ -364,28 +386,29 @@ def _softmax_csum_kernel(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref,
 
 def _bwd_kernel_sigmoid(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                         dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                        *, act, leaky_slope):
+                        *, act, leaky_slope, gate_max):
     _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
               None, None, None,
               dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-              mode="sigmoid", act=act, leaky_slope=leaky_slope, hw_scale=1.0)
+              mode="sigmoid", act=act, leaky_slope=leaky_slope, hw_scale=1.0,
+              gate_max=gate_max)
 
 
 def _bwd_kernel_softmax(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                         m_ref, s_ref, c_ref,
                         dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                        *, act, leaky_slope, hw_scale):
+                        *, act, leaky_slope, hw_scale, gate_max):
     _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
               m_ref, s_ref, c_ref,
               dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
               mode="softmax", act=act, leaky_slope=leaky_slope,
-              hw_scale=hw_scale)
+              hw_scale=hw_scale, gate_max=gate_max)
 
 
 def _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
               m_ref, s_ref, c_ref,
               dx_ref, dpp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-              *, mode, act, leaky_slope, hw_scale):
+              *, mode, act, leaky_slope, hw_scale, gate_max):
     """Pass B (grid (S, N), batch innermost): recompute the gate MLP for
     one tile, apply the gate jacobian, and backprop the per-location MLP.
     Weight grads accumulate in-place in their (revisited) output blocks;
@@ -413,10 +436,14 @@ def _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     if mode == "sigmoid":
         p = jax.nn.sigmoid(l)
         g = 2.0 * p
-        dl = 2.0 * p * (1.0 - p) * dg
+        ghat = _clamp_gate(g, gate_max)
+        dl = 2.0 * p * (1.0 - p) * (_gate_mask(g, gate_max) * dg)
     else:
         g = jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale
-        dl = g * dg - (g / hw_scale) * c_ref[0]
+        ghat = _clamp_gate(g, gate_max)
+        # c_ref was accumulated from MASKED dg (pass A), so only the
+        # local dg needs the clamp subgradient here
+        dl = g * (_gate_mask(g, gate_max) * dg) - (g / hw_scale) * c_ref[0]
 
     dlc = dl.astype(cd)
     # dh = dl @ W2^T ; du = act'(u) * dh ; dx = g*dy + du @ W1^T
@@ -430,7 +457,7 @@ def _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         duc, w1_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dx_ref[0] = (g * dyf + dx_gate).astype(dx_ref.dtype)
+    dx_ref[0] = (ghat * dyf + dx_gate).astype(dx_ref.dtype)
 
     # ---- accumulated gradients ----
     dw1_part = jax.lax.dot_general(      # x^T @ du : (C, Hd)
@@ -466,7 +493,7 @@ def _bwd_body(x_ref, dy_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
-                     mode, act, leaky_slope, hw_scale, interpret):
+                     mode, act, leaky_slope, hw_scale, gate_max, interpret):
     n, hw, c = x2d.shape
     hd = w1x.shape[1]
     cout = w2.shape[1]
@@ -491,7 +518,7 @@ def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
         )
         csum = pl.pallas_call(
             kern(_softmax_csum_kernel, act=act, leaky_slope=leaky_slope,
-                 hw_scale=hw_scale),
+                 hw_scale=hw_scale, gate_max=gate_max),
             grid=(n, s),
             in_specs=[xa_spec, xa_spec, ppa_spec] + w_specs + [stata_spec, stata_spec],
             out_specs=stata_spec,
@@ -500,12 +527,14 @@ def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
             interpret=interpret,
         )(x2d, dy2d, ppf, w1c, b1r, w2c, b2r, m, se)
         bwd_kernel = kern(_bwd_kernel_softmax, act=act,
-                          leaky_slope=leaky_slope, hw_scale=hw_scale)
+                          leaky_slope=leaky_slope, hw_scale=hw_scale,
+                          gate_max=gate_max)
         stats_operands = (m, se, csum)
         stats_specs = [stat_spec, stat_spec, stat_spec]
     else:
         # sigmoid is tile-local: no stats operands at all
-        bwd_kernel = kern(_bwd_kernel_sigmoid, act=act, leaky_slope=leaky_slope)
+        bwd_kernel = kern(_bwd_kernel_sigmoid, act=act,
+                          leaky_slope=leaky_slope, gate_max=gate_max)
         stats_operands = ()
         stats_specs = []
 
@@ -548,7 +577,7 @@ def _pallas_backward(x2d, dy2d, pos_proj, w1x, b1, w2, b2, m, se, *,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_core(mode: str, act: str, leaky_slope: float, hw_scale: float,
-                     interpret: bool):
+                     gate_max: float, interpret: bool):
     """Per-config custom_vjp op: fused Pallas forward; fused Pallas
     backward for supported activations, else exact XLA-recompute."""
 
@@ -557,7 +586,7 @@ def _make_fused_core(mode: str, act: str, leaky_slope: float, hw_scale: float,
         y, _, _ = _pallas_forward_with_stats(
             x2d, pos_proj, w1x, b1, w2, b2,
             mode=mode, act=act, leaky_slope=leaky_slope,
-            hw_scale=hw_scale, interpret=interpret,
+            hw_scale=hw_scale, gate_max=gate_max, interpret=interpret,
         )
         return y
 
@@ -565,7 +594,7 @@ def _make_fused_core(mode: str, act: str, leaky_slope: float, hw_scale: float,
         y, m, se = _pallas_forward_with_stats(
             x2d, pos_proj, w1x, b1, w2, b2,
             mode=mode, act=act, leaky_slope=leaky_slope,
-            hw_scale=hw_scale, interpret=interpret,
+            hw_scale=hw_scale, gate_max=gate_max, interpret=interpret,
         )
         return y, (x2d, pos_proj, w1x, b1, w2, b2, m, se)
 
@@ -575,12 +604,12 @@ def _make_fused_core(mode: str, act: str, leaky_slope: float, hw_scale: float,
             return _pallas_backward(
                 x2d, gy, pos_proj, w1x, b1, w2, b2, m, se,
                 mode=mode, act=act, leaky_slope=leaky_slope,
-                hw_scale=hw_scale, interpret=interpret,
+                hw_scale=hw_scale, gate_max=gate_max, interpret=interpret,
             )
         _, vjp = jax.vjp(
             lambda *args: locate_attention_xla_core(
                 *args, mode=mode, act=act, leaky_slope=leaky_slope,
-                hw_scale=hw_scale,
+                hw_scale=hw_scale, gate_max=gate_max,
             ),
             x2d, pos_proj, w1x, b1, w2, b2,
         )
@@ -601,6 +630,7 @@ def fused_locate_attention(
     mode: str = "softmax",
     act: str = "leaky_relu",
     leaky_slope: float = 0.2,
+    gate_max: float = 0.0,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused residual-form location attention.
@@ -610,5 +640,6 @@ def fused_locate_attention(
     instead — see train/step.py's `d_apply_r1` twin for the pattern.
     """
     n, h, w, c = x.shape
-    core = _make_fused_core(mode, act, float(leaky_slope), float(h * w), interpret)
+    core = _make_fused_core(mode, act, float(leaky_slope), float(h * w),
+                            float(gate_max), interpret)
     return core(x.reshape(n, h * w, c), pos_proj, w1x, b1, w2, b2).reshape(x.shape)

@@ -79,6 +79,7 @@ from jax.experimental.pallas import tpu as pltpu
 from locate_tpu.ops.pallas.fused_attention import (
     _act,
     _act_grad,
+    _clamp_gate,
     _full_spec,
     _pallas_backward,
     _pick_tile,
@@ -114,6 +115,7 @@ def _down2x(y: jax.Array) -> jax.Array:
 
 def stage_oracle(ops: dict, *, h: int, w: int, groups: int, eps: float,
                  act: str, leaky_slope: float, mode: Optional[str],
+                 gate_max: float = 0.0,
                  upsample: bool = False, downsample: bool = False) -> jax.Array:
     """Exact XLA composition of the fused stage (lax convs, f32 norm/gate
     stats) — the custom_vjp backward runs through jax.vjp of this.
@@ -175,6 +177,7 @@ def stage_oracle(ops: dict, *, h: int, w: int, groups: int, eps: float,
         g = jax.nn.softmax(logits, axis=1) * float(h * w)
     else:
         raise ValueError(f"unknown gate mode {mode!r}")
+    g = _clamp_gate(g, gate_max)
     out = (y2.astype(jnp.float32) * g).astype(cd).reshape(n, h, w, co)
     return _down2x(out) if downsample else out
 
@@ -374,14 +377,14 @@ def _kernel_conv_only(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
 
 def _kernel_sigmoid(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                     bc_ref, skip_ref, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref,
-                    o_ref, *, width, rows, act, leaky_slope, upsample=False,
-                    downsample=False):
+                    o_ref, *, width, rows, act, leaky_slope, gate_max=0.0,
+                    upsample=False, downsample=False):
     w2, _ = _stage_tile(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
                         bc_ref, skip_ref, width=width, rows=rows, act=act,
                         leaky_slope=leaky_slope, upsample=upsample)
     l = _gate_logits_of(w2, pp_ref, w1_ref, b1_ref, w2g_ref, b2_ref, act,
                         leaky_slope)
-    g = jax.nn.sigmoid(l) * 2.0
+    g = _clamp_gate(jax.nn.sigmoid(l) * 2.0, gate_max)
     gated = (w2.astype(jnp.float32) * g).astype(o_ref.dtype)
     if downsample:
         # pool the cd-cast gated values in f32 — bitwise the oracle's
@@ -393,13 +396,13 @@ def _kernel_sigmoid(x_ref, up_ref, dn_ref, a_ref, b_ref, wr_ref, wc_ref,
 
 def _kernel_softmax_apply_pool(x_ref, pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                m_ref, s_ref, o_ref, *, act, leaky_slope,
-                               hw_scale, width):
+                               hw_scale, width, gate_max=0.0):
     """fused_attention._softmax_apply_kernel + in-VMEM 2x2 avg-pool before
     the write (the fused `downsample` tail for softmax mode); x tiles are
     row-aligned (multiples of 2 image rows) so pooling stays tile-local."""
     l = _gate_logits_of(x_ref[0], pp_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                         act, leaky_slope)
-    g = jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale
+    g = _clamp_gate(jnp.exp(l - m_ref[0]) / s_ref[0] * hw_scale, gate_max)
     gated = (x_ref[0].astype(jnp.float32) * g).astype(o_ref.dtype)
     o_ref[0] = _pool_avg(gated.astype(jnp.float32), width, o_ref.dtype)
 
@@ -659,7 +662,8 @@ def _fold_groupnorm(x4, gn_scale, gn_bias, groups: int, eps: float):
 
 
 def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
-                          mode, interpret, upsample=False, downsample=False):
+                          mode, interpret, gate_max=0.0, upsample=False,
+                          downsample=False):
     x4 = ops["x"]  # coarse (N, h/2, w/2, C) when upsample; (h, w) are FINE
     n, _, _, c = x4.shape
     cd = x4.dtype
@@ -778,7 +782,7 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
 
     if mode == "sigmoid":
         y2 = pl.pallas_call(
-            bind(_kernel_sigmoid),
+            bind(functools.partial(_kernel_sigmoid, gate_max=gate_max)),
             grid=(n, s),
             in_specs=conv_specs + gate_specs,
             out_specs=out_spec,
@@ -817,7 +821,7 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
         y2 = pl.pallas_call(
             functools.partial(_kernel_softmax_apply_pool, act=act,
                               leaky_slope=leaky_slope, hw_scale=float(h * w),
-                              width=w),
+                              width=w, gate_max=gate_max),
             grid=(n, s),
             in_specs=[wpre_spec, pp_spec, _full_spec(w1c.shape),
                       _full_spec((1, hd)), _full_spec(w2c.shape),
@@ -835,7 +839,8 @@ def _pallas_stage_forward(ops: dict, *, h, w, groups, eps, act, leaky_slope,
                             memory_space=pltpu.VMEM)
     y2 = pl.pallas_call(
         functools.partial(_softmax_apply_kernel, act=act,
-                          leaky_slope=leaky_slope, hw_scale=float(h * w)),
+                          leaky_slope=leaky_slope, hw_scale=float(h * w),
+                          gate_max=gate_max),
         grid=(n, s2),
         in_specs=[xa_spec, ppa_spec, _full_spec(w1c.shape),
                   _full_spec((1, hd)), _full_spec(w2c.shape),
@@ -985,7 +990,8 @@ _CONV_KEYS = ("x", "gn_scale", "gn_bias", "w_row", "w_col", "b_col", "w_skip")
 
 @functools.lru_cache(maxsize=None)
 def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
-                     oracle_bwd=False, upsample=False, downsample=False):
+                     oracle_bwd=False, upsample=False, downsample=False,
+                     gate_max=0.0):
     """custom_vjp op over a dict of operands: Pallas forward; hand-written
     Pallas backward (round 3) for leaky_relu/relu — gate backward via the
     fused-attention bwd kernels on the pre-gate output w (saved by the
@@ -995,8 +1001,8 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
     back to jax.vjp of the exact XLA oracle. First-order only either way
     (grad-of-grad goes through the oracle twin, see train/step.py)."""
     kw = dict(h=h, w=w, groups=groups, eps=eps, act=act,
-              leaky_slope=leaky_slope, mode=mode, upsample=upsample,
-              downsample=downsample)
+              leaky_slope=leaky_slope, mode=mode, gate_max=gate_max,
+              upsample=upsample, downsample=downsample)
     hand_written = (act in _PALLAS_BWD_ACTS) and not oracle_bwd
 
     # The backward chain is itself a custom_vjp op so grad-of-grad stays
@@ -1048,7 +1054,7 @@ def _make_stage_core(h, w, groups, eps, act, leaky_slope, mode, interpret,
             w_pre2, gy2, ops["pos_proj"], ops["w1x"], ops["b1"],
             ops["w2"], ops["b2"], m, se,
             mode=mode, act=act, leaky_slope=leaky_slope,
-            hw_scale=float(h * w), interpret=interpret,
+            hw_scale=float(h * w), gate_max=gate_max, interpret=interpret,
         )
         grads = _pallas_conv_backward(
             ops, dw2, h=h, w=w, groups=groups, eps=eps, act=act,
@@ -1109,6 +1115,7 @@ def fused_stage(
     b1: Optional[jax.Array] = None,         # (Hd,)
     w2: Optional[jax.Array] = None,         # (Hd, Cout)
     b2: Optional[jax.Array] = None,         # (Cout,)
+    gate_max: float = 0.0,                  # AttentionConfig.gate_max
     interpret: bool = False,
     oracle_bwd: bool = False,               # force the XLA-oracle backward
     upsample: bool = False,                 # x is COARSE; fuse nearest-2x in
@@ -1155,5 +1162,6 @@ def fused_stage(
     core = _make_stage_core(
         h, w_, int(groups), float(eps), act, float(leaky_slope), mode,
         bool(interpret), bool(oracle_bwd), bool(upsample), bool(downsample),
+        float(gate_max),
     )
     return core(ops)

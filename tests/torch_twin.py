@@ -115,6 +115,10 @@ def attention(params, x, cfg: ModelConfig):
         gate = torch.sigmoid(logits)
         if acfg.residual:
             gate = gate * 2.0
+    if acfg.gate_max > 0.0:
+        # mirrors locate_gate's where(g > M, M, g): clamp's boundary
+        # subgradient is 1 on both sides
+        gate = torch.clamp(gate, max=acfg.gate_max)
     return x * gate
 
 
