@@ -51,16 +51,22 @@ class AttentionConfig:
     # If true the block computes x * (1 + gate_centered) residually so an
     # all-zero gate MLP is the identity at init.
     residual: bool = True
-    # Upper bound on the gate value (0 = unbounded). The mean-1 softmax
-    # gate ranges [0, H*W]; unbounded, a saturated softmax concentrates
-    # the whole feature map into a few locations (the r4 quality run's
-    # collapse: near-constant features whose GroupNorm backward amplifies
-    # by rsqrt(eps)~316 PER LAYER, compounding to >=1e19 grad norms —
-    # docs/QUALITY_r4.md). The clamp keeps identity-at-init (gate=1) and
-    # bounds both forward concentration and backward amplification at
-    # gate_max per attention layer. Applied in the XLA gate and both
-    # Pallas kernel paths (oracle-matched incl. the clamp's subgradient).
-    gate_max: float = 16.0
+    # Upper bound on the gate value (0 = unbounded, the DEFAULT). The
+    # mean-1 softmax gate ranges [0, H*W]; unbounded, a saturated softmax
+    # concentrates the whole feature map into a few locations (the r4
+    # quality run's collapse: near-constant features whose GroupNorm
+    # backward amplifies by rsqrt(eps)~316 PER LAYER, compounding to
+    # >=1e19 grad norms — docs/QUALITY_r5.md post-mortem). The clamp
+    # keeps identity-at-init (gate=1) and bounds both forward
+    # concentration and backward amplification at gate_max per attention
+    # layer. Applied in the XLA gate and both Pallas kernel paths
+    # (oracle-matched incl. the clamp's subgradient; tests/test_gate_max).
+    # Default OFF for checkpoint compatibility: a checkpoint whose
+    # learned gates exceed the bound samples/evals differently under a
+    # clamp, so turning it on is a per-preset/per-run decision (every
+    # shipped preset opts in at 16.0 for new runs — docs/GUIDE.md
+    # "Checkpoint compatibility").
+    gate_max: float = 0.0
     # --- kind="self" only (SAGAN self-attention) ---
     # Attention heads (q/k/v dims split per head, transformer-style).
     heads: int = 1
@@ -662,7 +668,8 @@ def _cifar10_32() -> Config:
     """Config 1: CIFAR-10 32x32 conv+LocAtE-attention GAN (CPU-runnable ref)."""
     return Config(
         name="cifar10_32",
-        model=ModelConfig(resolution=32, base_channels=256, max_channels=256),
+        model=ModelConfig(resolution=32, base_channels=256, max_channels=256,
+                          attention=AttentionConfig(gate_max=16.0)),
         data=DataConfig(dataset="cifar10", resolution=32),
         train=TrainConfig(global_batch=64, compute_dtype="float32",
                           r1_gamma=0.1, max_nonfinite_skips=200),
@@ -675,7 +682,8 @@ def _celeba_64() -> Config:
     return Config(
         name="celeba_64",
         model=ModelConfig(
-            resolution=64, base_channels=512, max_channels=512, attention_stages="all"
+            resolution=64, base_channels=512, max_channels=512,
+            attention_stages="all", attention=AttentionConfig(gate_max=16.0),
         ),
         data=DataConfig(dataset="folder", resolution=64),
         train=TrainConfig(global_batch=64, r1_gamma=0.1,
@@ -697,6 +705,7 @@ def _lsun_bedroom_128() -> Config:
             base_channels=512,
             max_channels=512,
             blocks_per_stage=2,
+            attention=AttentionConfig(gate_max=16.0),
         ),
         data=DataConfig(dataset="folder", resolution=128),
         train=TrainConfig(global_batch=64, ema_decay=0.999, r1_gamma=0.1,
@@ -714,6 +723,7 @@ def _ffhq_256() -> Config:
             base_channels=512,
             max_channels=512,
             num_classes=10,
+            attention=AttentionConfig(gate_max=16.0),
         ),
         data=DataConfig(dataset="folder", resolution=256, num_classes=10),
         train=TrainConfig(global_batch=128, r1_gamma=0.1,
@@ -732,6 +742,7 @@ def _ffhq_512() -> Config:
             base_channels=512,
             max_channels=512,
             remat=True,
+            attention=AttentionConfig(gate_max=16.0),
         ),
         data=DataConfig(dataset="folder", resolution=512),
         train=TrainConfig(global_batch=256, r1_gamma=0.1,

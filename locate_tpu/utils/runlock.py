@@ -38,8 +38,12 @@ class RunLock:
         path = os.path.join(workdir, ".run.lock")
         fh = open(path, "a+")
         try:
+            # Only BlockingIOError means "another live process holds it".
+            # Any other OSError (ENOLCK/EIO on network filesystems where
+            # flock may not even give real exclusion) propagates as-is
+            # rather than being misreported as a live holder.
             fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
+        except BlockingIOError:
             fh.seek(0)
             holder = fh.read().strip()
             fh.close()

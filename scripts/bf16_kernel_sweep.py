@@ -226,6 +226,26 @@ def main() -> int:
     check_pair(f"disc_stage bps2 (conv+softmax | conv+down) {res}^2",
                f.apply, o.apply, p, x)
 
+    # gate_max clamp ACTIVE (ADVICE r4: the masked-dg backward path needs
+    # bf16 coverage) — hot logit init so a solid fraction of gates exceed
+    # the bound and the clamp subgradient actually fires.
+    for mode in ("sigmoid", "softmax"):
+        cfg = model_cfg(mode, attention=AttentionConfig(
+            pos_features=8, bottleneck=4, mode=mode, gate_max=1.5))
+        f, o = stage_pair(discriminator_stage, cfg, 128, 128, res,
+                          last=False)
+        p = nudged_init(o, key, scale=0.2)
+        x = jax.random.normal(key, (2, res, res, 128), jnp.bfloat16)
+        check_pair(f"disc_stage conv+{mode}+down gate_max1.5 {res}^2",
+                   f.apply, o.apply, p, x)
+
+        f, o = stage_pair(generator_stage, cfg, 128, 128, res, first=False)
+        p = nudged_init(o, key, scale=0.2)
+        x = jax.random.normal(key, (2, res // 2, res // 2, 128),
+                              jnp.bfloat16)
+        check_pair(f"gen_stage up+conv+{mode} gate_max1.5 {res}^2",
+                   f.apply, o.apply, p, x)
+
     # attention disabled entirely: pure conv-block fusion both directions
     cfg = model_cfg("sigmoid", attention_stages=())
     f, o = stage_pair(generator_stage, cfg, 128, 128, res, first=False)
@@ -267,6 +287,27 @@ def main() -> int:
         pp = {"pos": pos, "w1x": w1x, "b1": b1, "w2": w2, "b2": b2}
         check_pair(f"locate_attention {mode} {h}x{w}xC{c}", f_apply, o_apply,
                    pp, x4)
+
+    # standalone kernel with the clamp active: 5x-hotter gate-MLP weights
+    # so random inputs saturate gate_max=1.5 in both modes.
+    for mode in ("sigmoid", "softmax"):
+        def f_apply(p, xx, _mode=mode):
+            return fa.fused_locate_attention(
+                xx, p["pos"], p["w1x"], p["b1"], p["w2"], p["b2"],
+                mode=_mode, gate_max=1.5, interpret=args.interpret)
+
+        def o_apply(p, xx, _mode=mode):
+            n, hh, ww, cc = xx.shape
+            y = fa.locate_attention_xla_core(
+                xx.reshape(n, hh * ww, cc), p["pos"], p["w1x"], p["b1"],
+                p["w2"], p["b2"], mode=_mode, act="leaky_relu",
+                leaky_slope=0.2, hw_scale=float(hh * ww), gate_max=1.5)
+            return y.reshape(xx.shape)
+
+        pp = {"pos": pos, "w1x": 5.0 * w1x, "b1": b1, "w2": 5.0 * w2,
+              "b2": b2}
+        check_pair(f"locate_attention {mode} gate_max1.5 {h}x{w}xC{c}",
+                   f_apply, o_apply, pp, x4)
 
     # --- flash self-attention ------------------------------------------
     print("[flash_attention]", flush=True)

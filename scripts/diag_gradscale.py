@@ -89,8 +89,6 @@ def main():
               f"g_grad_norm={float(gnorm):.4e}", flush=True)
         norms = leaf_norms(grads)
         for name, (n, mx) in sorted(norms.items(), key=lambda kv: -kv[1][0])[: args.top]:
-            pn, pmx = leaf_norms({"x": jax.tree_util.tree_map(
-                lambda *_: None, None)}) if False else (None, None)
             print(f"  grad |{name}| norm={n:.3e} max={mx:.3e}")
 
     # where are the PARAMS themselves largest? (diverged D shows here)

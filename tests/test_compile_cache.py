@@ -2,7 +2,14 @@
 Config.compile_cache must populate the cache dir with serialized
 executables, and the process-global enable must be idempotent. The
 cross-process reload path was probed live on the axon TPU backend
-(docs/DESIGN.md 'Compilation cache'); here we pin the wiring on CPU."""
+(docs/DESIGN.md 'Compilation cache'); here we pin the wiring on CPU.
+
+NOTE: enable() is process-global and has no off-switch, so the cache
+stays pointed at this module's tmp dir for every later test file in the
+same pytest shard. That is benign (extra cache writes for compiles over
+the min-compile-time threshold, which this module restores), but if a
+future test asserts on cache state it must not share a shard with this
+file."""
 
 import warnings
 
@@ -22,6 +29,10 @@ def cache_dir(tmp_path_factory):
 
 
 def test_populates_on_compile(cache_dir):
+    # Save/restore the prior value rather than assuming what enable() set:
+    # leaving a mutated process-global here would couple later tests in
+    # the shard to this one's ordering.
+    prior = jax.config.jax_persistent_cache_min_compile_time_secs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:
         f = jax.jit(lambda x: jnp.tanh(x @ x.T) * 2 + 1)
@@ -29,7 +40,7 @@ def test_populates_on_compile(cache_dir):
         entries = list(cache_dir.iterdir())
         assert entries, "compile wrote no cache entries"
     finally:
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prior)
 
 
 def test_idempotent_and_repoint_warns(cache_dir, tmp_path):
