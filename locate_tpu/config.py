@@ -493,6 +493,23 @@ class TrainConfig:
     # the consecutive-skip streak reaches this value (checked every
     # log_every steps, so keep log_every <= this). 0 disables the wrapper.
     max_nonfinite_skips: int = 0
+    # Divergence sanitizer for FINITE blow-ups (the failure mode
+    # apply_if_finite is blind to — the r4 flagship run applied
+    # 1e12..3e17-norm updates for hours, docs/QUALITY_r5.md post-mortem):
+    # updates whose overflow-proof global grad norm exceeds this are
+    # SKIPPED (Adam's moments never see the exploded gradient), counted
+    # in <net>_grad_limit_count/_streak metrics, warned about at log
+    # boundaries, and — when max_nonfinite_skips > 0 — abort the run at
+    # the same consecutive-skip threshold as non-finite skips. Distinct
+    # from opt.clip_grad_norm (which rescales and still applies). Set
+    # ~100x above the run's healthy grad-norm envelope; 0 disables.
+    grad_norm_limit: float = 0.0
+    # Quality-regression warning (train.keep_best runs): if the best
+    # rFID has not improved for this many consecutive evals, the loop
+    # prints a "quality regressing since step N" warning at each further
+    # eval. Advisory only (GAN metrics are noisy; the best checkpoint is
+    # already preserved). 0 disables.
+    regress_warn_evals: int = 5
     # TensorBoard scalars/images under <workdir>/tb (lazy TF import).
     tensorboard: bool = False
     # Optimizer steps per host dispatch: the jitted call scans this many
@@ -566,6 +583,15 @@ class TrainConfig:
                 f"log_every={self.log_every} must be <= "
                 f"max_nonfinite_skips={self.max_nonfinite_skips} for the "
                 f"non-finite abort to fire on time"
+            )
+        if self.grad_norm_limit < 0.0:
+            raise ValueError(
+                f"grad_norm_limit must be >= 0, got {self.grad_norm_limit}"
+            )
+        if self.regress_warn_evals < 0:
+            raise ValueError(
+                f"regress_warn_evals must be >= 0, got "
+                f"{self.regress_warn_evals}"
             )
         if self.d_steps < 1:
             raise ValueError(f"d_steps must be >= 1, got {self.d_steps}")

@@ -145,6 +145,9 @@ def _train_locked(
         best_ckpt = None
         best_path = os.path.join(cfg.workdir, "best.json")
         best_fid = float("inf")
+        best_step = 0           # step of the best rFID seen this run
+        evals_since_best = 0    # consecutive evals without improvement
+        grad_limit_seen = 0     # grad-norm-limit skips already warned about
         if cfg.train.keep_best and cfg.train.eval_every:
             best_ckpt = CheckpointManager(
                 os.path.join(cfg.workdir, "checkpoints_best"), keep=1,
@@ -154,7 +157,9 @@ def _train_locked(
                 import json
 
                 with open(best_path) as f:
-                    best_fid = float(json.load(f)["fid"])
+                    _best = json.load(f)
+                best_fid = float(_best["fid"])
+                best_step = int(_best.get("step", 0))
         start = int(state.step)
         try:
           # stride k: each dispatch advances k optimizer steps (config
@@ -193,9 +198,30 @@ def _train_locked(
                 logger.log_scalars(step_num, host_metrics)
                 if "on_metrics" in hooks:
                     hooks["on_metrics"](step_num, host_metrics)
+                # Grad-norm-limit events (train.grad_norm_limit, the
+                # finite-blow-up sanitizer): warn the moment the skip
+                # count moves, so a reader of the console sees divergence
+                # when it STARTS, not at the post-hoc digest.
+                if cfg.train.grad_norm_limit > 0.0:
+                    n_skips = int(
+                        host_metrics.get("d_grad_limit_count", 0)
+                        + host_metrics.get("g_grad_limit_count", 0)
+                    )
+                    if n_skips > grad_limit_seen:
+                        print(
+                            f"[locate-tpu] WARNING step {step_num}: "
+                            f"{n_skips - grad_limit_seen} update(s) skipped"
+                            f" for |grad| > {cfg.train.grad_norm_limit:g} "
+                            f"({n_skips} total; window norms "
+                            f"d={host_metrics.get('d_grad_norm', 0):.3g} "
+                            f"g={host_metrics.get('g_grad_norm', 0):.3g})",
+                            flush=True,
+                        )
+                        grad_limit_seen = n_skips
                 # Numerics abort (SURVEY.md §6): params are never poisoned
-                # (non-finite updates are always skipped), but a persistent
-                # streak means training is dead — stop instead of spinning.
+                # (non-finite AND over-limit updates are always skipped),
+                # but a persistent streak of either kind means training
+                # is dead — stop instead of spinning.
                 limit = cfg.train.max_nonfinite_skips
                 if limit > 0:
                     streak = max(
@@ -207,6 +233,16 @@ def _train_locked(
                             f"aborting at step {step_num}: {int(streak)} "
                             f"consecutive non-finite gradient steps "
                             f"(limit {limit})"
+                        )
+                    lim_streak = max(
+                        host_metrics.get("d_grad_limit_streak", 0),
+                        host_metrics.get("g_grad_limit_streak", 0),
+                    )
+                    if lim_streak >= limit:
+                        raise RuntimeError(
+                            f"aborting at step {step_num}: {int(lim_streak)}"
+                            f" consecutive updates over grad_norm_limit="
+                            f"{cfg.train.grad_norm_limit:g} (limit {limit})"
                         )
 
             if cfg.train.sample_every and (
@@ -259,6 +295,8 @@ def _train_locked(
                     hooks["on_eval"](step_num, scores)
                 if best_ckpt is not None and scores["fid"] < best_fid:
                     best_fid = float(scores["fid"])
+                    best_step = step_num
+                    evals_since_best = 0
                     best_ckpt.save(state)
                     best_ckpt.wait()
                     if primary:
@@ -269,6 +307,21 @@ def _train_locked(
                                 {"fid": best_fid, "kid": float(scores["kid"]),
                                  "step": step_num}, f,
                             )
+                elif best_ckpt is not None:
+                    # Quality-regression warning (VERDICT r4 #2 tail): the
+                    # r4 run peaked at step 2,000 and marched on for hours
+                    # with nothing shipped saying so. Advisory — rFID is
+                    # noisy and the best state is already snapshotted.
+                    evals_since_best += 1
+                    warn_after = cfg.train.regress_warn_evals
+                    if warn_after and evals_since_best >= warn_after:
+                        print(
+                            f"[locate-tpu] WARNING step {step_num}: quality"
+                            f" regressing — best rFID {best_fid:.2f} was at"
+                            f" step {best_step}, {evals_since_best} evals"
+                            f" ago (current {scores['fid']:.2f})",
+                            flush=True,
+                        )
 
             if cfg.train.checkpoint_every and (
                 step_num % cfg.train.checkpoint_every == 0 or step_num == total_steps
@@ -281,4 +334,28 @@ def _train_locked(
             ckpt.close()
             if best_ckpt is not None:
                 best_ckpt.close()
+            # End-of-run stability digest (utils/digest.py): every run —
+            # including aborted ones, where it matters most — self-reports
+            # grad-norm spikes, guard events, logit split, and best-step
+            # lag. Best-effort: a digest failure must never mask the run's
+            # own outcome.
+            if primary:
+                try:
+                    from locate_tpu.utils.digest import (
+                        format_digest,
+                        load_metrics_jsonl,
+                        stability_digest,
+                    )
+
+                    mpath = os.path.join(cfg.workdir, "metrics.jsonl")
+                    if os.path.exists(mpath):
+                        dig = stability_digest(load_metrics_jsonl(mpath))
+                        if dig is not None:
+                            print("[locate-tpu] run stability digest:",
+                                  flush=True)
+                            for line in format_digest(dig):
+                                print("  " + line, flush=True)
+                except Exception as e:  # pragma: no cover
+                    print(f"[locate-tpu] (stability digest failed: {e!r})",
+                          flush=True)
     return state

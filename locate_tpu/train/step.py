@@ -45,7 +45,11 @@ from locate_tpu.objectives.losses import (
     path_lengths,
     r1_penalty,
 )
-from locate_tpu.objectives.optim import make_optimizers
+from locate_tpu.objectives.optim import (
+    guard_stats,
+    make_optimizers,
+    safe_global_norm,
+)
 from locate_tpu.train.state import TrainState
 
 Batch = Dict[str, jax.Array]
@@ -476,13 +480,15 @@ def make_train_step(
         d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
         return optax.apply_updates(state.d_params, d_updates), d_opt_state, d_grads
 
-    def _nonfinite_streak(opt_state):
-        """Consecutive skipped-update count from the apply_if_finite
-        wrapper (possibly nested inside MultiSteps); None when disabled."""
-        if tcfg.max_nonfinite_skips <= 0:
-            return None
-        inner = opt_state.inner_opt_state if tcfg.grad_accum > 1 else opt_state
-        return inner.notfinite_count
+    def _guard_metrics(metrics, d_opt_state, g_opt_state):
+        """Update-guard counters (optim.guard_stats: non-finite streak +
+        grad-norm-limit count/streak) as d_/g_-prefixed metrics. The
+        guard's own norm reading is dropped — d/g_grad_norm already
+        report the same overflow-proof norm."""
+        for prefix, s in (("d_", d_opt_state), ("g_", g_opt_state)):
+            for k, v in guard_stats(s, tcfg).items():
+                if k != "grad_norm_guard":
+                    metrics[prefix + k] = v
 
     def finish(state, new_rng, k_ema, d_loss, d_aux, d_grads, d_params,
                d_opt_state, g_loss, g_grads, n_local, g_aux=None,
@@ -557,17 +563,18 @@ def make_train_step(
             **(g_aux or {}),
             "d_loss": d_loss,
             "g_loss": g_loss,
-            "d_grad_norm": (optax.global_norm(d_grads)
+            # Overflow-proof norms (safe_global_norm): the r4 run's
+            # optax.global_norm metrics overflowed to inf on exploded-
+            # but-finite grads, making "metric overflowed" look like
+            # "update skipped" in metrics.jsonl.
+            "d_grad_norm": (safe_global_norm(d_grads)
                             if d_grad_norm is None else d_grad_norm),
-            "g_grad_norm": optax.global_norm(g_grads),
+            "g_grad_norm": safe_global_norm(g_grads),
             **d_aux,
         }
         if aug_on:
             metrics["augment_p"] = ada_p
-        d_streak = _nonfinite_streak(d_opt_state)
-        if d_streak is not None:
-            metrics["d_nonfinite_streak"] = d_streak
-            metrics["g_nonfinite_streak"] = _nonfinite_streak(g_opt_state)
+        _guard_metrics(metrics, d_opt_state, g_opt_state)
         metrics = pmean(metrics)
         new_state = TrainState(
             step=state.step + 1,
@@ -706,7 +713,7 @@ def make_train_step(
             upd, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
             d_params = optax.apply_updates(d_params, upd)
             return ((d_params, d_opt_state),
-                    (d_loss, d_aux, optax.global_norm(d_grads)))
+                    (d_loss, d_aux, safe_global_norm(d_grads)))
 
         xs = {"real": real, "i": jnp.arange(c)}
         if labels is not None:
@@ -824,8 +831,10 @@ def make_train_step(
 # running state (the non-finite skip streak, the ADA controller's p) —
 # the value AT the end of the window is the current state the abort
 # check / logs need, and for augment_p it must equal state.ada_p.
-_LAST_METRICS = ("d_nonfinite_streak", "g_nonfinite_streak", "augment_p",
-                 "pl_mean")
+_LAST_METRICS = ("d_nonfinite_streak", "g_nonfinite_streak",
+                 "d_grad_limit_count", "g_grad_limit_count",
+                 "d_grad_limit_streak", "g_grad_limit_streak",
+                 "augment_p", "pl_mean")
 
 
 def make_multi_step(

@@ -50,6 +50,15 @@ def main(argv=None) -> int:
                    "by tests/test_step_variants.py). Must divide every "
                    "cadence; resume requires the checkpoint step % k == 0.")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--override", action="append", default=[],
+                   help="extra config override(s), key=value — layered "
+                   "after the preset so a recipe sweep reuses this "
+                   "script's corpus/pack/run phases")
+    p.add_argument("--workdir", default="",
+                   help="training workdir (default <root>/run); sweep arms "
+                   "share the corpus+pack but train in their own workdir")
+    p.add_argument("--fresh", action="store_true",
+                   help="delete an existing workdir first (sweep arms)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -65,8 +74,12 @@ def main(argv=None) -> int:
     root = args.root
     img_dir = os.path.join(root, "jpegs")
     pack_dir = os.path.join(root, "packed")
-    workdir = os.path.join(root, "run")
+    workdir = args.workdir or os.path.join(root, "run")
     os.makedirs(root, exist_ok=True)
+    if args.fresh and os.path.isdir(workdir):
+        import shutil
+
+        shutil.rmtree(workdir)
 
     # 1. JPEG corpus (synthetic textures play the dataset camera; the
     # real-dataset path is identical from `pack` onward).
@@ -107,12 +120,15 @@ def main(argv=None) -> int:
         "train.eval_swd=true",
         f"train.sample_every={args.sample_every}",
         f"train.checkpoint_every={args.checkpoint_every}",
-        "train.log_every=100",
+        # log cadence must be a multiple of steps_per_call (the loop only
+        # observes state at dispatch boundaries)
+        f"train.log_every={max(1, args.steps_per_call) * max(1, 100 // max(1, args.steps_per_call))}",
     ]
     if args.batch:
         overrides.append(f"train.global_batch={args.batch}")
     if args.steps_per_call:
         overrides.append(f"train.steps_per_call={args.steps_per_call}")
+    overrides.extend(args.override)
     t0 = time.perf_counter()
     rc = cli.main(["train", *overrides])
     log("train", t0, rc=rc, steps=args.steps)
