@@ -42,6 +42,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GUARDRAILS = {
     "train.grad_norm_limit": "1e4",
     "train.max_nonfinite_skips": "96",  # log cadence (=96) <= abort streak
+    # shared persistent XLA cache: the eval/sample programs are identical
+    # across arms, and a crashed arm resumes without recompiling
+    "compile_cache": "/root/qr5/xla_cache",
 }
 
 ARMS = {

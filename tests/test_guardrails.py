@@ -217,6 +217,26 @@ def test_step_generous_limit_is_identity(tiny_config):
     assert out[0][1] == pytest.approx(out[1][1], rel=1e-5)
 
 
+def test_multi_step_scan_reports_last_streak(tiny_config):
+    """Under steps_per_call>1 the guard counters are running state: the
+    window must report the LAST step's value (k after one k-step call
+    with everything skipped), not the window mean."""
+    from locate_tpu.train.step import make_multi_step
+
+    cfg = _with_limit(tiny_config, 1e-8)
+    gan = build_gan(cfg)
+    state = create_train_state(cfg, gan, jax.random.PRNGKey(0))
+    k = 2
+    step = jax.jit(make_multi_step(make_train_step(cfg, gan), k))
+    b = _batch(cfg)
+    batches = {kk: jnp.stack([v] * k) for kk, v in b.items()}
+    state, metrics = step(state, batches)
+    assert int(metrics["d_grad_limit_streak"]) == k
+    assert int(metrics["d_grad_limit_count"]) == k
+    state, metrics = step(state, batches)
+    assert int(metrics["d_grad_limit_streak"]) == 2 * k
+
+
 def test_loop_aborts_on_limit_streak(tiny_config, tmp_path):
     from locate_tpu.train.loop import train
 
