@@ -40,7 +40,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # crossed 1e12 within 200 steps of diverging, so any value in 1e3..1e9
 # catches it early; 1e4 also bounds single-step param damage).
 GUARDRAILS = {
-    "train.grad_norm_limit": "1e4",
+    # Round-1 arms (a, b) ran with limit=1e4 — miscalibrated: this
+    # architecture's HEALTHY g-grad norms have median ~1.6e3 with spikes
+    # to 1e6 (the gate/GroupNorm amplifier tamed by gate_max but not
+    # gone), so 1e4 skipped ~8-10% of G updates and dragged convergence.
+    # The r4 death spiral crossed 1e12 within ~200 steps of diverging;
+    # 1e6 (~600x the healthy median) catches it with zero drag.
+    "train.grad_norm_limit": "1e6",
     "train.max_nonfinite_skips": "96",  # log cadence (=96) <= abort streak
     # shared persistent XLA cache: the eval/sample programs are identical
     # across arms, and a crashed arm resumes without recompiling
@@ -49,26 +55,29 @@ GUARDRAILS = {
 
 ARMS = {
     # strong R1 alone: is regularization strength the whole story?
+    # (round 1: best 118.7@2400, final 124.5; logit split +-15 — D still
+    # memorizes; limit=1e4 skipped 392 G updates)
     "a_r1_10": {"train.r1_gamma": "10.0"},
-    # the full limited-data stool at strong R1
+    # the full limited-data stool at strong R1 (round 1: 119->136 flat;
+    # ADA responding, p~0.13 at 1k; limit=1e4 skipped 280+ G updates)
     "b_r1_10_ada_lecam": {
         "train.r1_gamma": "10.0",
         "train.ada_target": "0.6",
         "train.lecam_gamma": "0.01",
     },
-    # moderate R1 + the stool (is gamma=10 overdamped?)
-    "c_r1_2_ada_lecam": {
-        "train.r1_gamma": "2.0",
+    # B with the recalibrated limit: was the guard the drag, or gamma?
+    "d_r1_10_ada_lecam_lim6": {
+        "train.r1_gamma": "10.0",
         "train.ada_target": "0.6",
         "train.lecam_gamma": "0.01",
     },
-    # belt-and-suspenders: strong R1 + stool + hard clip
-    "d_r1_10_ada_lecam_clip": {
-        "train.r1_gamma": "10.0",
+    # mild R1 + the stool: closer to r4's fast-early-progress regime
+    # (gamma=0.1 reached rFID 92 by 2k before dying) but 10x stronger,
+    # with ADA/LeCam carrying the memorization control
+    "c_r1_1_ada_lecam": {
+        "train.r1_gamma": "1.0",
         "train.ada_target": "0.6",
-        "train.lecam_gamma": "0.1",
-        "train.g_opt.clip_grad_norm": "10.0",
-        "train.d_opt.clip_grad_norm": "10.0",
+        "train.lecam_gamma": "0.01",
     },
 }
 
