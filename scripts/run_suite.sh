@@ -19,7 +19,7 @@ declare -a SHARDS=(
 for i in "${!SHARDS[@]}"; do
   t0=$SECONDS
   # shellcheck disable=SC2086
-  python -m pytest ${SHARDS[$i]} -q --durations=25 > "$LOG/shard$i.log" 2>&1
+  python -m pytest ${SHARDS[$i]} -q --durations=40 > "$LOG/shard$i.log" 2>&1
   rc=$?
   dt=$((SECONDS - t0))
   tail -1 "$LOG/shard$i.log" | sed "s/^/shard$i rc=$rc ${dt}s: /" | tee -a "$LOG/summary.txt"
