@@ -79,6 +79,21 @@ ARMS = {
         "train.ada_target": "0.6",
         "train.lecam_gamma": "0.01",
     },
+    # minimal intervention: r4's fast-progress regime (sharp D) with only
+    # the two diagnosed killers fixed — gate_max=16 (preset, tames the
+    # gate/GroupNorm amplifier) and grad_norm_limit=1e6 (skips the
+    # death-spiral updates). Motivated by round-2 observations: both
+    # ADA+LeCam arms REGRESS after an early best because LeCam pins real
+    # logits positive, so ADA's r_t=E[sign(D_real)] sticks at 1.0 and p
+    # ramps toward its cap — augmentation leakage degrades G while D
+    # never sharpens enough to teach it.
+    "e_r1_1_plain": {"train.r1_gamma": "1.0"},
+    # e with ADA but NO LeCam: does ADA alone (heuristic un-pinned)
+    # control memorization without the leak?
+    "f_r1_1_ada": {
+        "train.r1_gamma": "1.0",
+        "train.ada_target": "0.6",
+    },
 }
 
 
