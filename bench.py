@@ -29,9 +29,11 @@ Honesty notes (self-described in the emitted JSON):
     amortization share of the headline is visible. Override with `spc=N`.
   * the default JSON additionally reports `e2e_images_per_sec` (same
     program fed through the packed-shard host pipeline + device transfer)
-    and `preset_defaults_images_per_sec` (the SHIPPED preset step: lazy
-    R1 gamma=0.1 interval 16) so every program users actually run is on
-    record, not only the reference-parity headline.
+    and `preset_defaults_images_per_sec` (the SHIPPED preset step exactly
+    as configured — the r5 flagship recipe: lazy R1, ADA, LeCam, grad-norm
+    guard; the knobs are echoed in `preset_defaults_note`) so every
+    program users actually run is on record, not only the
+    reference-parity headline.
   * e2e is HOST-BOUND on small hosts: the JSON records the host context
     (core count, loadavg around the e2e window, pipeline kind) plus
     `input_path_images_per_sec` (producer + transfer alone — the host
@@ -105,23 +107,33 @@ def main() -> None:
         if m.startswith("spc="):
             spc = int(m.split("=", 1)[1])
 
-    def build_cfg(k: int):
+    def build_cfg(k: int, reference_parity: bool = True):
         ov = {
             "train.global_batch": str(batch),
             "train.compute_dtype": "bfloat16",
             "use_pallas": "true" if use_pallas else "false",
             "train.fused_step": "true" if fused else "false",
             "data.resolution": "128",
-            # The primary metric times the reference-parity step: presets
-            # default to lazy R1 (r1_gamma=0.1, dynamics fix) but the
-            # reference's step has no gradient penalty, so bench pins it
-            # off to keep the timed program comparable across rounds.
-            "train.r1_gamma": "0.0",
-            # Likewise pin the non-finite guard OFF for EVERY benched
-            # program (k=1 and k>1 must compile the same step body, and
-            # round 1's preset had no guard either).
-            "train.max_nonfinite_skips": "0",
         }
+        if reference_parity:
+            # The primary metric times the reference-parity step: the
+            # shipped preset carries a full training recipe (lazy R1,
+            # ADA, LeCam, grad-norm guard — r5 flagship defaults) but
+            # the reference's step has none of it, so bench pins every
+            # recipe knob OFF to keep the timed program comparable
+            # across rounds. The preset-defaults window (below) times
+            # the preset exactly as shipped.
+            ov.update({
+                "train.r1_gamma": "0.0",
+                "train.ada_target": "0.0",
+                "train.augment_p": "0.0",
+                "train.lecam_gamma": "0.0",
+                "train.grad_norm_limit": "0.0",
+                # non-finite guard OFF for the parity program (k=1 and
+                # k>1 must compile the same step body, and round 1's
+                # preset had no guard either).
+                "train.max_nonfinite_skips": "0",
+            })
         if k > 1:  # cadences must be multiples of k (set BEFORE k)
             ov.update({
                 "train.log_every": str(100 * k),
@@ -370,17 +382,15 @@ def main() -> None:
             extra["e2e_error"] = repr(err)[:200]
         finally:
             e2e = False
-        import dataclasses as _dc
-
-        rcfg = build_cfg(spc)
-        rcfg = _dc.replace(
-            rcfg, train=_dc.replace(rcfg.train, r1_gamma=0.1)
-        )
+        rcfg = build_cfg(spc, reference_parity=False)
         ips_r1, _ = measure(rcfg)
         extra["preset_defaults_images_per_sec"] = round(ips_r1, 2)
+        t = rcfg.train
         extra["preset_defaults_note"] = (
-            "shipped preset step (lazy R1 gamma=0.1 interval 16), "
-            "device-only, same batch/spc"
+            "shipped preset step exactly as configured (r1_gamma="
+            f"{t.r1_gamma:g}@{t.r1_interval}, ada_target={t.ada_target:g}"
+            f", lecam_gamma={t.lecam_gamma:g}, grad_norm_limit="
+            f"{t.grad_norm_limit:g}), device-only, same batch/spc"
         )
     try:
         # HBM footprint of the headline program (allocator peak across the

@@ -698,7 +698,8 @@ def _cifar10_32() -> Config:
                           attention=AttentionConfig(gate_max=16.0)),
         data=DataConfig(dataset="cifar10", resolution=32),
         train=TrainConfig(global_batch=64, compute_dtype="float32",
-                          r1_gamma=0.1, max_nonfinite_skips=200),
+                          r1_gamma=0.1, grad_norm_limit=1e6,
+                          max_nonfinite_skips=200),
         workdir="runs/cifar10_32",
     )
 
@@ -712,7 +713,7 @@ def _celeba_64() -> Config:
             attention_stages="all", attention=AttentionConfig(gate_max=16.0),
         ),
         data=DataConfig(dataset="folder", resolution=64),
-        train=TrainConfig(global_batch=64, r1_gamma=0.1,
+        train=TrainConfig(global_batch=64, r1_gamma=0.1, grad_norm_limit=1e6,
                           max_nonfinite_skips=200),
         workdir="runs/celeba_64",
     )
@@ -722,7 +723,16 @@ def _lsun_bedroom_128() -> Config:
     """Config 3: LSUN-bedroom 128x128, deeper attention-conv stacks + EMA.
 
     This is the primary-metric config (images/sec/chip at 128x128,
-    BASELINE.json:2).
+    BASELINE.json:2). The training recipe is the round-5 sweep winner
+    (docs/QUALITY_r5.md §4): r1_gamma=1.0 (the r4 default 0.1 was ~100x
+    below the StyleGAN2 convention at this resolution and collapsed over
+    25k steps) + grad_norm_limit=1e6 (skips finite-but-exploded updates;
+    healthy g-grad medians here are ~1.6-3e3, the r4 death spiral
+    crossed 1e12 within ~200 steps of diverging). gate_max=16 tames the
+    attention-gate/GroupNorm gradient amplifier. For very small corpora
+    (<~10k images) add ADA/LeCam per docs/GUIDE.md's limited-data
+    recipe — but note the sweep's finding that LeCam's logit pinning
+    stalls ADA's sign-based controller when both are on.
     """
     return Config(
         name="lsun_bedroom_128",
@@ -734,8 +744,8 @@ def _lsun_bedroom_128() -> Config:
             attention=AttentionConfig(gate_max=16.0),
         ),
         data=DataConfig(dataset="folder", resolution=128),
-        train=TrainConfig(global_batch=64, ema_decay=0.999, r1_gamma=0.1,
-                          max_nonfinite_skips=200),
+        train=TrainConfig(global_batch=64, ema_decay=0.999, r1_gamma=1.0,
+                          grad_norm_limit=1e6, max_nonfinite_skips=200),
         workdir="runs/lsun_bedroom_128",
     )
 
@@ -752,7 +762,7 @@ def _ffhq_256() -> Config:
             attention=AttentionConfig(gate_max=16.0),
         ),
         data=DataConfig(dataset="folder", resolution=256, num_classes=10),
-        train=TrainConfig(global_batch=128, r1_gamma=0.1,
+        train=TrainConfig(global_batch=128, r1_gamma=0.1, grad_norm_limit=1e6,
                           max_nonfinite_skips=200),
         parallel=ParallelConfig(data_parallel=-1),
         workdir="runs/ffhq_256",
@@ -771,7 +781,7 @@ def _ffhq_512() -> Config:
             attention=AttentionConfig(gate_max=16.0),
         ),
         data=DataConfig(dataset="folder", resolution=512),
-        train=TrainConfig(global_batch=256, r1_gamma=0.1,
+        train=TrainConfig(global_batch=256, r1_gamma=0.1, grad_norm_limit=1e6,
                           max_nonfinite_skips=200),
         parallel=ParallelConfig(data_parallel=-1),
         use_pallas=True,

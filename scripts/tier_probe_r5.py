@@ -21,13 +21,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the r5 recipe (sweep-picked, docs/QUALITY_r5.md §4) transplanted to
-# the higher tiers; R1 gamma stays preset-default there (untuned at
-# these resolutions — this probe only claims stability, not quality)
+# the r5 recipe (sweep-picked, docs/QUALITY_r5.md §4: the guard-only
+# minimal arm won; ADA+LeCam regressed via controller pinning)
+# transplanted to the higher tiers. The grad_norm_limit backstop is now
+# a preset default; R1 gamma stays preset-default (untuned at these
+# resolutions — this probe only claims stability, not quality).
 RECIPE = {
-    "train.ada_target": "0.6",
-    "train.lecam_gamma": "0.01",
-    "train.grad_norm_limit": "1e6",
     "train.max_nonfinite_skips": "96",
     "compile_cache": "/root/qr5/xla_cache",
     "train.eval_swd": "false",
