@@ -266,3 +266,21 @@ def test_loop_warns_on_limit_events(tiny_config, tmp_path, capsys):
     train(cfg, total_steps=4)
     out = capsys.readouterr().out
     assert "WARNING" in out and "grad" in out and "skipped" in out
+
+
+def test_shipped_presets_carry_the_guard_recipe():
+    """Pin the r5 sweep-picked recipe as shipped (docs/QUALITY_r5.md §4):
+    every preset carries the finite-blow-up guard backstop, and the
+    128^2 flagship ships the sweep winner r1_gamma=1.0 + gate_max=16.
+    A silent revert of any of these re-opens the r4 collapse mode."""
+    from locate_tpu.config import PRESETS, get_config
+
+    for name in PRESETS:
+        cfg = get_config(name)
+        assert cfg.train.grad_norm_limit == 1e6, name
+        assert cfg.train.max_nonfinite_skips > 0, name
+        assert cfg.model.attention.gate_max == 16.0, name
+
+    flagship = get_config("lsun_bedroom_128")
+    assert flagship.train.r1_gamma == 1.0
+    assert flagship.train.r1_interval == 16
