@@ -12,9 +12,14 @@ What this turns on (all config, no code):
   * `train.steps_per_call=8`: each compiled dispatch scans 8 optimizer
     steps over a stacked batch (identical trajectory, ~8x less dispatch
     overhead — cadences must be multiples of 8);
-  * lazy R1 (preset default, gamma 0.1) — the dynamics-sweep winner;
+  * lazy R1 (preset default; gamma scales with resolution — 0.1 at
+    64^2 per the dynamics sweep, 1.0 on the 128^2 flagship per the r5
+    sweep, docs/QUALITY_r5.md §4) and the r5 grad-norm guard
+    (`grad_norm_limit=1e6` preset default);
   * adaptive discriminator augmentation (`ada_target=0.6`) — for
-    limited-data sets; D sees aug(x), p adapts online without recompile;
+    limited-data sets; D sees aug(x), p adapts online without recompile
+    (caveat: don't stack with LeCam, and expect p to ramp while D is
+    sharp — GUIDE.md §5);
   * bf16 stochastically-rounded EMA shadow (`ema_dtype=bfloat16`) —
     halves the shadow's HBM, unbiased accumulation;
   * in-training rFID eval every 2k steps with BEST-snapshot tracking

@@ -724,15 +724,29 @@ def _lsun_bedroom_128() -> Config:
 
     This is the primary-metric config (images/sec/chip at 128x128,
     BASELINE.json:2). The training recipe is the round-5 sweep winner
-    (docs/QUALITY_r5.md §4): r1_gamma=1.0 (the r4 default 0.1 was ~100x
-    below the StyleGAN2 convention at this resolution and collapsed over
-    25k steps) + grad_norm_limit=1e6 (skips finite-but-exploded updates;
-    healthy g-grad medians here are ~1.6-3e3, the r4 death spiral
-    crossed 1e12 within ~200 steps of diverging). gate_max=16 tames the
-    attention-gate/GroupNorm gradient amplifier. For very small corpora
-    (<~10k images) add ADA/LeCam per docs/GUIDE.md's limited-data
-    recipe — but note the sweep's finding that LeCam's logit pinning
-    stalls ADA's sign-based controller when both are on.
+    plus the flagship-run diagnosis (docs/QUALITY_r5.md §4-5):
+
+    - r1_gamma=1.0 — the r4 default 0.1 was ~100x below the StyleGAN2
+      convention at this resolution and collapsed over 25k steps;
+      gamma=10 over-regularizes (sweep arm a).
+    - gate_max=16 tames the attention-gate/GroupNorm gradient amplifier.
+    - A three-tier update-sanity ladder (make_optimizer composition):
+      normal updates apply; spikes are CLIPPED by global norm
+      (clip_grad_norm=100, ~10-100x the healthy medians) so lazy-R1's
+      large periodic corrections LAND with direction preserved;
+      catastrophic raw norms (grad_norm_limit=1e12 — the guard reads
+      pre-clip norms) are skipped outright and abort on a streak. The
+      first r5 flagship attempt showed why skip-only fails here: with
+      limit=1e6 the guard ate ~90% of the R1 firings (raw R1-step
+      norms reach 1e6-1e9 once D sharpens), so D trained effectively
+      unregularized and rFID regressed — clip keeps the correction;
+      the limit stays for true blow-ups (the r4 spiral crossed 1e12
+      within ~200 steps of diverging).
+
+    For very small corpora (<~10k images) add ADA/LeCam per
+    docs/GUIDE.md's limited-data recipe — but note the sweep's finding
+    that LeCam's logit pinning stalls ADA's sign-based controller when
+    both are on.
     """
     return Config(
         name="lsun_bedroom_128",
@@ -745,7 +759,9 @@ def _lsun_bedroom_128() -> Config:
         ),
         data=DataConfig(dataset="folder", resolution=128),
         train=TrainConfig(global_batch=64, ema_decay=0.999, r1_gamma=1.0,
-                          grad_norm_limit=1e6, max_nonfinite_skips=200),
+                          g_opt=OptimConfig(clip_grad_norm=100.0),
+                          d_opt=OptimConfig(clip_grad_norm=100.0),
+                          grad_norm_limit=1e12, max_nonfinite_skips=200),
         workdir="runs/lsun_bedroom_128",
     )
 
