@@ -731,17 +731,22 @@ def _lsun_bedroom_128() -> Config:
       gamma=10 over-regularizes (sweep arm a).
     - gate_max=16 tames the attention-gate/GroupNorm gradient amplifier.
     - A three-tier update-sanity ladder (make_optimizer composition):
-      normal updates apply; spikes are CLIPPED by global norm
-      (clip_grad_norm=100, ~10-100x the healthy medians) so lazy-R1's
-      large periodic corrections LAND with direction preserved;
-      catastrophic raw norms (grad_norm_limit=1e12 — the guard reads
-      pre-clip norms) are skipped outright and abort on a streak. The
-      first r5 flagship attempt showed why skip-only fails here: with
-      limit=1e6 the guard ate ~90% of the R1 firings (raw R1-step
+      normal updates apply; spikes are CLIPPED by global norm so
+      lazy-R1's large periodic corrections LAND with direction
+      preserved; catastrophic raw norms (grad_norm_limit=1e12 — the
+      guard reads pre-clip norms) are skipped outright and abort on a
+      streak. Clip levels are PER-NET, ~30-100x each net's healthy
+      median (D: clip 100 over median ~1; G: clip 1e4 over median
+      ~3e3). The first r5 flagship attempt showed why skip-only fails:
+      with limit=1e6 the guard ate ~90% of the R1 firings (raw R1-step
       norms reach 1e6-1e9 once D sharpens), so D trained effectively
-      unregularized and rFID regressed — clip keeps the correction;
-      the limit stays for true blow-ups (the r4 spiral crossed 1e12
-      within ~200 steps of diverging).
+      unregularized and rFID regressed. The second attempt showed why
+      the levels must be per-net: a G clip at 100 (under its healthy
+      median) slowed G ~30x, and the saturated D — whose grads are
+      TINY but directionally consistent, so scale-invariant Adam
+      marches at full LR — ran away unopposed. The limit stays for
+      true blow-ups (the r4 spiral crossed 1e12 within ~200 steps of
+      diverging).
 
     For very small corpora (<~10k images) add ADA/LeCam per
     docs/GUIDE.md's limited-data recipe — but note the sweep's finding
@@ -759,7 +764,7 @@ def _lsun_bedroom_128() -> Config:
         ),
         data=DataConfig(dataset="folder", resolution=128),
         train=TrainConfig(global_batch=64, ema_decay=0.999, r1_gamma=1.0,
-                          g_opt=OptimConfig(clip_grad_norm=100.0),
+                          g_opt=OptimConfig(clip_grad_norm=1e4),
                           d_opt=OptimConfig(clip_grad_norm=100.0),
                           grad_norm_limit=1e12, max_nonfinite_skips=200),
         workdir="runs/lsun_bedroom_128",

@@ -287,7 +287,7 @@ def test_shipped_presets_carry_the_guard_recipe():
     flagship = get_config("lsun_bedroom_128")
     assert flagship.train.r1_gamma == 1.0
     assert flagship.train.r1_interval == 16
-    assert flagship.train.g_opt.clip_grad_norm == 100.0
+    assert flagship.train.g_opt.clip_grad_norm == 1e4
     assert flagship.train.d_opt.clip_grad_norm == 100.0
     # the raw-norm skip threshold must sit far ABOVE the clip level:
     # the guard reads PRE-clip norms (make_optimizer composition), so a
