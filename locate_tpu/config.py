@@ -723,30 +723,30 @@ def _lsun_bedroom_128() -> Config:
     """Config 3: LSUN-bedroom 128x128, deeper attention-conv stacks + EMA.
 
     This is the primary-metric config (images/sec/chip at 128x128,
-    BASELINE.json:2). The training recipe is the round-5 sweep winner
-    plus the flagship-run diagnosis (docs/QUALITY_r5.md §4-5):
+    BASELINE.json:2). The training recipe is the round-5 sweep winner,
+    validated short-horizon AND long-horizon on the same corpus
+    (docs/QUALITY_r5.md §4-5):
 
     - r1_gamma=1.0 — the r4 default 0.1 was ~100x below the StyleGAN2
       convention at this resolution and collapsed over 25k steps;
       gamma=10 over-regularizes (sweep arm a).
     - gate_max=16 tames the attention-gate/GroupNorm gradient amplifier.
-    - A three-tier update-sanity ladder (make_optimizer composition):
-      normal updates apply; spikes are CLIPPED by global norm so
-      lazy-R1's large periodic corrections LAND with direction
-      preserved; catastrophic raw norms (grad_norm_limit=1e12 — the
-      guard reads pre-clip norms) are skipped outright and abort on a
-      streak. Clip levels are PER-NET, ~30-100x each net's healthy
-      median (D: clip 100 over median ~1; G: clip 1e4 over median
-      ~3e3). The first r5 flagship attempt showed why skip-only fails:
-      with limit=1e6 the guard ate ~90% of the R1 firings (raw R1-step
-      norms reach 1e6-1e9 once D sharpens), so D trained effectively
-      unregularized and rFID regressed. The second attempt showed why
-      the levels must be per-net: a G clip at 100 (under its healthy
-      median) slowed G ~30x, and the saturated D — whose grads are
-      TINY but directionally consistent, so scale-invariant Adam
-      marches at full LR — ran away unopposed. The limit stays for
-      true blow-ups (the r4 spiral crossed 1e12 within ~200 steps of
-      diverging).
+    - grad_norm_limit=1e6 skips finite-but-exploded updates (healthy
+      medians here: D ~1, G ~1.6-3e3; the r4 death spiral crossed 1e12
+      within ~200 steps of diverging) and aborts on a persistent
+      streak.
+
+    Hard-won tuning notes from the r5 50k-corpus attempts (QUALITY_r5
+    §5): if the skip-guard fires on a large fraction of R1 firings
+    (raw R1-step norms can reach 1e6-1e9 once D sharpens), switch to
+    per-net spike CLIPS (opt.clip_grad_norm — keep each level ~30-100x
+    that net's healthy median, e.g. D=100/G=1e4, and raise the limit
+    to 1e12 since it reads PRE-clip norms) so the corrections land with
+    direction preserved. And if D saturates with TINY gradients (smooth
+    separation — d_loss ~ 0, R1 blind because input grads at the reals
+    vanish, scale-invariant Adam marching at full LR), no gradient
+    guard helps; that regime needs a different lever (stronger/earlier
+    D regularization, d_lr reduction, or more D capacity pressure).
 
     For very small corpora (<~10k images) add ADA/LeCam per
     docs/GUIDE.md's limited-data recipe — but note the sweep's finding
@@ -764,9 +764,7 @@ def _lsun_bedroom_128() -> Config:
         ),
         data=DataConfig(dataset="folder", resolution=128),
         train=TrainConfig(global_batch=64, ema_decay=0.999, r1_gamma=1.0,
-                          g_opt=OptimConfig(clip_grad_norm=1e4),
-                          d_opt=OptimConfig(clip_grad_norm=100.0),
-                          grad_norm_limit=1e12, max_nonfinite_skips=200),
+                          grad_norm_limit=1e6, max_nonfinite_skips=200),
         workdir="runs/lsun_bedroom_128",
     )
 

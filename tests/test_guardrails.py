@@ -271,11 +271,10 @@ def test_loop_warns_on_limit_events(tiny_config, tmp_path, capsys):
 def test_shipped_presets_carry_the_guard_recipe():
     """Pin the r5 recipe as shipped (docs/QUALITY_r5.md §4-5): every
     preset carries the finite-blow-up guard backstop, and the 128^2
-    flagship ships the full sanity ladder — r1_gamma=1.0, spike CLIP at
-    100 (so lazy-R1's periodic large corrections land with direction
-    preserved; skip-only ate ~90% of R1 firings in the first flagship
-    attempt), catastrophic skip at raw norm 1e12, gate_max=16. A silent
-    revert of any of these re-opens the r4 collapse mode."""
+    flagship ships the sweep-validated arm-e recipe — r1_gamma=1.0 +
+    grad_norm_limit=1e6 + gate_max=16. A silent revert of any of these
+    re-opens the r4 collapse mode (the per-net clip ladder remains an
+    opt-in knob; see the preset docstring's tuning notes)."""
     from locate_tpu.config import PRESETS, get_config
 
     for name in PRESETS:
@@ -287,9 +286,4 @@ def test_shipped_presets_carry_the_guard_recipe():
     flagship = get_config("lsun_bedroom_128")
     assert flagship.train.r1_gamma == 1.0
     assert flagship.train.r1_interval == 16
-    assert flagship.train.g_opt.clip_grad_norm == 1e4
-    assert flagship.train.d_opt.clip_grad_norm == 100.0
-    # the raw-norm skip threshold must sit far ABOVE the clip level:
-    # the guard reads PRE-clip norms (make_optimizer composition), so a
-    # low limit would skip exactly the R1 corrections clip exists to keep
-    assert flagship.train.grad_norm_limit == 1e12
+    assert flagship.train.grad_norm_limit == 1e6
