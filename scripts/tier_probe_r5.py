@@ -36,7 +36,7 @@ RECIPE = {
 TIERS = {
     "t4": {
         "preset": "ffhq_256",
-        "steps": 2048, "batch": 32, "spc": 16, "eval_every": 512,
+        "steps": 1024, "batch": 32, "spc": 16, "eval_every": 512,
         "extra": {"data.num_classes": "10"},
         "note": "class-conditional 256^2 (BASELINE config 4); batch 32 — "
                 "b>=64 hits the tunnel compile-helper HTTP 500 (infra, "
@@ -44,7 +44,7 @@ TIERS = {
     },
     "t5": {
         "preset": "ffhq_512",
-        "steps": 1024, "batch": 16, "spc": 8, "eval_every": 256,
+        "steps": 512, "batch": 16, "spc": 8, "eval_every": 256,
         "extra": {},
         "note": "512^2 fused-Pallas path (BASELINE config 5)",
     },
